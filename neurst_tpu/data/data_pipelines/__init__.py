@@ -1,0 +1,4 @@
+from neurst_tpu.data.data_pipelines.data_pipeline import (DataPipeline,  # noqa: F401
+                                                          build_data_pipeline,
+                                                          register_data_pipeline)
+from neurst_tpu.data.data_pipelines import text_data_pipeline  # noqa: F401
