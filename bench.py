@@ -1,0 +1,82 @@
+"""Benchmark: libri-trans-style ST beam-search decode throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The flagship path from BASELINE.json: SpeechTransformer-s (12-layer
+encoder, d=256) beam-4 decode over 10-second utterances (1000 fbank
+frames), measuring utterances/sec/chip.  The reference publishes no
+throughput numbers (BASELINE.md "Speed"), so ``vs_baseline`` is the
+ratio against the north-star target = 5x the single-CPU-core decode
+throughput measured for this exact workload (CPU_BASELINE_UTT_PER_SEC
+below, measured on this host's CPU backend).
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Measured once with the JAX CPU backend on this host (1 vCPU), same
+# model/beam settings (batch 4): ~0.99 utt/s.  North-star (BASELINE.json)
+# = 5x CPU = ~4.97 utt/s; vs_baseline is measured against that target.
+CPU_BASELINE_UTT_PER_SEC = 0.99
+TARGET = 5.0 * CPU_BASELINE_UTT_PER_SEC
+
+BATCH = 16
+FRAMES = 1024        # ~10.2 s of audio at 100 fps
+MAX_DECODE = 64
+BEAM = 4
+WARMUP = 1
+ITERS = 4
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _build_model
+    from neurst_tpu.layers.search.beam_search import sequence_beam_search
+
+    model, trg_meta = _build_model(tiny=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    inputs = {
+        "src": rng.randn(BATCH, FRAMES, 80, 1).astype(np.float32),
+        "src_length": np.full([BATCH], FRAMES, np.int32),
+        "trg_input": np.full([BATCH], trg_meta["bos_id"], np.int32),
+    }
+
+    @jax.jit
+    def decode(params, inputs):
+        s2l, init = model.prepare_generation(
+            params, inputs, decode_padded_length=MAX_DECODE)
+        return sequence_beam_search(
+            s2l, init, beam_size=BEAM, top_k=1,
+            maximum_decode_length=MAX_DECODE,
+            extra_decode_length=MAX_DECODE,
+            minimum_decode_length=MAX_DECODE - 1)  # force full-length decode
+
+    for _ in range(WARMUP):
+        hyp, scores = decode(params, inputs)
+        jax.block_until_ready(hyp)
+    start = time.perf_counter()
+    for _ in range(ITERS):
+        hyp, scores = decode(params, inputs)
+        jax.block_until_ready(hyp)
+    elapsed = time.perf_counter() - start
+
+    utt_per_sec = BATCH * ITERS / elapsed
+    audio_secs = BATCH * ITERS * (FRAMES / 100.0)
+    rtf = elapsed / audio_secs  # real-time factor (lower is better)
+    print(json.dumps({
+        "metric": "st_beam4_decode_utterances_per_sec_per_chip",
+        "value": round(utt_per_sec, 3),
+        "unit": "utt/s",
+        "vs_baseline": round(utt_per_sec / TARGET, 3),
+        "extra": {"rtf": round(rtf, 5), "batch": BATCH, "frames": FRAMES,
+                  "max_decode": MAX_DECODE, "beam": BEAM},
+    }))
+
+
+if __name__ == "__main__":
+    main()

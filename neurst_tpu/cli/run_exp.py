@@ -1,0 +1,158 @@
+# Copyright 2026 The NeurST-TPU Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+"""The main CLI: ``python -m neurst_tpu.cli.run_exp --entry train ...``
+
+Parity: /root/reference/neurst/cli/run_exp.py — config precedence
+CLI > config_paths YAML > hparams_set > saved model_configs.yml
+(run_exp.py:53-76); hparams-set leftovers (optimizer/lr_schedule) nest
+into entry.params; the dtype/distribution flags are accepted for recipe
+compatibility (the mesh and bf16 policy replace them).
+"""
+
+import logging
+import sys
+
+from neurst_tpu.exps.base_experiment import build_exp
+from neurst_tpu.data.datasets.dataset import build_dataset
+from neurst_tpu.tasks.task import build_task
+from neurst_tpu.utils import flags_core
+from neurst_tpu.utils.configurable import (ModelConfigs, deep_merge_dict,
+                                           flatten_string_list,
+                                           load_from_config_path)
+from neurst_tpu.utils.flags_core import Flag, ModuleFlag
+from neurst_tpu.utils.hparams_sets import get_hyper_parameters
+
+FLAG_LIST = [
+    Flag("config_paths", dtype=Flag.TYPE.STRING, default=None, multiple=True,
+         help="Path(s) to YAML/JSON configuration files."),
+    Flag("hparams_set", dtype=Flag.TYPE.STRING, default=None,
+         help="A set of predefined hyper-parameters (e.g. "
+              "transformer_base, transformer_768_16e_3d)."),
+    Flag("model_dir", dtype=Flag.TYPE.STRING, default=None,
+         help="The path for saving/loading checkpoints."),
+    Flag("distribution_strategy", dtype=Flag.TYPE.STRING, default=None,
+         help="Kept for recipe compatibility (mesh-based parallelism "
+              "is always on)."),
+    Flag("dtype", dtype=Flag.TYPE.STRING, default=None,
+         help="The computation dtype (bfloat16/float32)."),
+    Flag("enable_check_numerics", dtype=Flag.TYPE.BOOLEAN, default=None,
+         help="Enable jax_debug_nans for NaN checking."),
+    Flag("enable_xla", dtype=Flag.TYPE.BOOLEAN, default=None,
+         help="Kept for recipe compatibility (everything is XLA)."),
+    Flag("enable_quant", dtype=Flag.TYPE.BOOLEAN, default=False,
+         help="Whether to enable quantization-aware training."),
+    Flag("quant_params", dtype=Flag.TYPE.STRING, default=None,
+         help="A dict of parameters for quantization."),
+    Flag("include", dtype=Flag.TYPE.STRING, default=None, multiple=True,
+         help="Python files/modules with custom @register components to "
+              "import before building."),
+    Flag("seed", dtype=Flag.TYPE.INTEGER, default=0,
+         help="The global random seed."),
+    ModuleFlag("entry", "entry", help="The program entry."),
+    ModuleFlag("task", "task", help="The binding task."),
+    ModuleFlag("model", "model", help="The model."),
+    ModuleFlag("dataset", "dataset", help="The dataset."),
+]
+
+
+def _load_includes(paths):
+    """Imports user plug-in files so their @register calls run
+    (parity: flags_core.py:207-247 --include)."""
+    import importlib.util
+    import os
+    for path in flatten_string_list(paths):
+        if os.path.exists(path):
+            spec = importlib.util.spec_from_file_location(
+                "neurst_tpu_userdef_" + os.path.basename(path).split(".")[0],
+                path)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            logging.info("Imported plug-in file %s", path)
+        else:
+            __import__(path)
+            logging.info("Imported plug-in module %s", path)
+
+
+def _format_hparams(predefined: dict) -> dict:
+    """hparams-set dict -> top-level config (model.* kept, the rest
+    nested into entry.params)."""
+    out = {}
+    predefined = dict(predefined or {})
+    for key in ("model.class", "model", "model.params"):
+        if key in predefined:
+            out[key] = predefined.pop(key)
+    if predefined:
+        out["entry.params"] = predefined
+    return out
+
+
+def parse_and_merge(argv):
+    """Resolves the full configuration from argv."""
+    argv_dict, _ = flags_core.get_argv_dict(argv)
+    _load_includes(argv_dict.get("include"))
+    cfg_files = load_from_config_path(
+        flatten_string_list(argv_dict.get("config_paths")))
+    model_dir = argv_dict.get("model_dir") or cfg_files.get("model_dir")
+    hparams_name = argv_dict.get("hparams_set") \
+        or cfg_files.get("hparams_set")
+    hparams = _format_hparams(get_hyper_parameters(hparams_name))
+
+    base = {}
+    model_dirs = flatten_string_list(model_dir)
+    if model_dirs and ModelConfigs.exists(model_dirs[0]):
+        base = ModelConfigs.load(model_dirs[0])
+    merged = deep_merge_dict(deep_merge_dict(base, hparams), cfg_files)
+    args = flags_core.parse_flags(FLAG_LIST, argv, existing=merged)
+    return args
+
+
+def run_experiment(args):
+    if args.get("enable_check_numerics"):
+        import jax
+        jax.config.update("jax_debug_nans", True)
+    task = build_task(args)
+    custom_dataset = build_dataset(args) if args.get("dataset.class") \
+        else None
+    model = None
+    if args.get("model.class"):
+        model_params = dict(args.get("model.params") or {})
+        if args.get("dtype"):
+            model_params.setdefault("dtype", args["dtype"])
+        model = task.build_model({"model.class": args["model.class"],
+                                  "model.params": model_params})
+    entry_args = deep_merge_dict(dict(args), args.get("entry.params") or {})
+    entry = build_exp({"entry.class": args.get("entry.class"),
+                       "entry.params": entry_args},
+                      task=task, model=model,
+                      custom_dataset=custom_dataset,
+                      model_dir=args.get("model_dir"))
+    return entry.run()
+
+
+def cli_main(argv=None):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s")
+    if argv is None:
+        argv = sys.argv[1:]
+    args = parse_and_merge(argv)
+    if not args.get("entry.class"):
+        raise ValueError("--entry must be specified "
+                         "(train/eval/predict/validation/...).")
+    flags_core.verbose_flags(args)
+    return run_experiment(args)
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -1,0 +1,3 @@
+from neurst_tpu.criterions.criterion import (Criterion, build_criterion,  # noqa: F401
+                                             register_criterion)
+from neurst_tpu.criterions import label_smoothed_cross_entropy  # noqa: F401

@@ -1,0 +1,114 @@
+# Copyright 2026 The NeurST-TPU Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+"""Label-smoothed cross entropy.
+
+Parity: /root/reference/neurst/criterions/label_smoothed_cross_entropy.py
+(soft targets with confidence 1-eps / eps/(V-1), normalizing-constant
+subtraction, (nll_sum, n_samples, n_tokens) statistics, PPL = 2^(nll/tok),
+token weights from trg_padding or trg_length, optional sample mask).
+
+Computed in float32 on top of (possibly bf16) logits.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurst_tpu.criterions.criterion import Criterion, register_criterion
+from neurst_tpu.layers.layer_utils import input_length_to_nonpadding
+from neurst_tpu.metrics.metric import MetricWrapper
+from neurst_tpu.utils.flags_core import Flag
+
+__all__ = ["LabelSmoothedCrossEntropy"]
+
+
+@register_criterion("label_smoothed_cross_entropy")
+class LabelSmoothedCrossEntropy(Criterion):
+
+    def __init__(self, args=None):
+        super().__init__(args)
+        self._label_smoothing = float(
+            self._args.get("label_smoothing") or 0.0)
+
+    @staticmethod
+    def class_or_method_args():
+        return [Flag("label_smoothing", dtype=Flag.TYPE.FLOAT, default=0.,
+                     help="The label smoothing constant.")]
+
+    def __call__(self, model_inp: dict, model_out):
+        """Returns (nll_sum [B], n_samples [1], n_tokens [B])."""
+        logits = model_out["logits"] if isinstance(model_out, dict) \
+            else model_out
+        logits = logits.astype(jnp.float32)
+        labels = model_inp["trg"].astype(jnp.int32)
+        vocab_size = logits.shape[-1]
+
+        confidence = 1.0 - self._label_smoothing
+        low_confidence = self._label_smoothing / (vocab_size - 1)
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        # soft-target cross entropy without materializing one-hots:
+        #   -sum_v soft_v * logp_v
+        #     = -(confidence - low_conf) * logp_label - low_conf * sum_v logp_v
+        label_lp = jnp.take_along_axis(log_probs, labels[..., None],
+                                       axis=-1)[..., 0]
+        xent = -(confidence - low_confidence) * label_lp \
+            - low_confidence * jnp.sum(log_probs, axis=-1)
+        if self._label_smoothing:
+            normalizing = -(
+                confidence * math.log(confidence)
+                + (vocab_size - 1) * low_confidence
+                * math.log(low_confidence + 1e-20))
+            xent = xent - normalizing
+
+        padding = model_inp.get("trg_padding")
+        length = model_inp.get("trg_length", model_inp.get("length"))
+        if padding is not None:
+            weights = (1.0 - padding).astype(jnp.float32)
+        else:
+            weights = input_length_to_nonpadding(length, labels.shape[1])
+        if model_inp.get("sample_mask") is not None:
+            weights = weights * model_inp["sample_mask"][:, None]
+
+        nll_sum = jnp.sum(xent * weights, axis=1)
+        n_samples = (jnp.sum(model_inp["sample_mask"])[None]
+                     if model_inp.get("sample_mask") is not None
+                     else jnp.asarray([labels.shape[0]], jnp.float32))
+        n_tokens = jnp.sum(weights, axis=1)
+        return nll_sum, n_samples, n_tokens
+
+    def reduce_loss(self, model_inp, model_out):
+        nll_sum, _, n_tokens = self(model_inp, model_out)
+        return jnp.sum(nll_sum) / jnp.maximum(jnp.sum(n_tokens), 1.0)
+
+    def reduce_metrics(self, eval_res_list) -> dict:
+        nll, samples, tokens = 0.0, 0.0, 0.0
+        for _nll, _s, _t in eval_res_list:
+            nll += float(np.sum(_nll))
+            samples += float(np.sum(_s))
+            tokens += float(np.sum(_t))
+        return {"NLL": nll / max(samples, 1.0),
+                "PPL": 2.0 ** (nll / max(tokens, 1.0))}
+
+    def reduce_sample_metrics(self, eval_res) -> list:
+        nll_sum, _, n_tokens = eval_res
+        nll_sum = np.asarray(nll_sum)
+        n_tokens = np.asarray(n_tokens)
+        return [{"nll": float(n), "ppl": 2.0 ** (float(n) / max(float(t), 1.)),
+                 "nll_per_token": float(n) / max(float(t), 1.)}
+                for n, t in zip(nll_sum, n_tokens)]
+
+    def as_metric(self):
+        return MetricWrapper(flag="NLL", greater_is_better=False)

@@ -4,3 +4,4 @@ from neurst_tpu.data.datasets.dataset import (Dataset, RecordDataset,  # noqa: F
 from neurst_tpu.data.datasets import parallel_text_dataset  # noqa: F401
 from neurst_tpu.data.datasets import mono_text_dataset  # noqa: F401
 from neurst_tpu.data.datasets import record_text_dataset  # noqa: F401
+from neurst_tpu.data.datasets import audio  # noqa: F401

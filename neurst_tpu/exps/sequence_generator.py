@@ -1,0 +1,140 @@
+# Copyright 2026 The NeurST-TPU Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+"""The generation ("predict") entry.
+
+Parity: /root/reference/neurst/exps/sequence_generator.py — builds the
+search layer over the model (61-84), restores checkpoints (single or
+averaged), writes hypotheses and computes the metric against targets
+(118-216).  Decoding is jit-compiled per padded source-shape bucket; the
+bounded shape set comes from the fixed-size batcher.
+"""
+
+import logging
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from neurst_tpu.exps.base_experiment import BaseExperiment, register_exp
+from neurst_tpu.layers.search.sequence_search import build_search_layer
+from neurst_tpu.utils import checkpoints as ckpt_lib
+from neurst_tpu.utils.compat import ModeKeys
+from neurst_tpu.utils.flags_core import Flag, ModuleFlag
+
+__all__ = ["SequenceGenerator"]
+
+
+@register_exp("predict", "generation")
+class SequenceGenerator(BaseExperiment):
+
+    @staticmethod
+    def class_or_method_args():
+        return [
+            ModuleFlag("search_method", "search_method",
+                       default="beam_search", help="The search layer."),
+            ModuleFlag("metric", "metric", help="The evaluation metric."),
+            Flag("output_file", dtype=Flag.TYPE.STRING, default=None,
+                 help="The file to write hypotheses to."),
+            Flag("save_metric", dtype=Flag.TYPE.STRING, default=None,
+                 help="Path to dump the metric result JSON."),
+            Flag("checkpoint_path", dtype=Flag.TYPE.STRING, default=None,
+                 help="Explicit checkpoint path (defaults to latest in "
+                      "model_dir)."),
+        ]
+
+    def restore_params(self, params):
+        path = self._args.get("checkpoint_path")
+        if path is None and self._model_dir:
+            path = ckpt_lib.latest_checkpoint(self._model_dir)
+        if path is None:
+            logging.warning("No checkpoint found; using random init.")
+            return params
+        flat = ckpt_lib.restore_checkpoint_params(path)
+        params, _, missing = ckpt_lib.restore_into(params, flat)
+        logging.info("Restored generation model from %s", path)
+        return params
+
+    def build_generation_fn(self, params):
+        """Returns fn(model_inputs) -> (hypotheses ids, scores)."""
+        search = build_search_layer(self._args)
+        search.set_model(self._model)
+        jit_search = jax.jit(lambda p, inp: search(p, inp))
+        return lambda inp: jit_search(params, inp)
+
+    def run(self):
+        task = self._task
+        model = self._model
+        args = self._args
+        params = self.restore_params(
+            model.init_params(jax.random.PRNGKey(0)))
+        generate = self.build_generation_fn(params)
+
+        batch_iter = task.create_batch_iterator(
+            self._custom_dataset, ModeKeys.INFER, args)
+        postprocess = task.get_data_postprocess_fn(
+            self._custom_dataset.status)
+        # PROJECTED datasets still need id->text decoding of hypotheses
+        from neurst_tpu.utils.compat import DataStatus
+        hypo_decode = task.get_data_postprocess_fn(DataStatus.PROJECTED)
+
+        hypotheses = []
+        scores = []
+        n_samples = 0
+        start = time.perf_counter()
+        for batch in batch_iter():
+            model_inp = {k: v for k, v in batch.items()
+                         if isinstance(v, np.ndarray) and v.dtype != object}
+            hyp, score = generate(model_inp)
+            hyp = np.asarray(hyp)
+            score = np.asarray(score)
+            mask = batch.get("sample_mask")
+            bsz = mask.shape[0] if mask is not None else hyp.shape[0]
+            top_k = hyp.shape[0] // bsz
+            for i in range(bsz):
+                if mask is not None and mask[i] == 0:
+                    continue
+                ids = hyp[i * top_k].tolist()
+                hypotheses.append(hypo_decode(ids))
+                scores.append(float(score[i * top_k]))
+                n_samples += 1
+        elapsed = time.perf_counter() - start
+        logging.info("Generation of %d samples took %.2fs (%.2f samples/s)",
+                     n_samples, elapsed, n_samples / max(elapsed, 1e-6))
+
+        if args.get("output_file"):
+            with open(args["output_file"], "w", encoding="utf-8") as f:
+                for h in hypotheses:
+                    f.write(h + "\n")
+            logging.info("Hypotheses written to %s", args["output_file"])
+
+        results = {"samples": n_samples, "samples_per_sec":
+                   n_samples / max(elapsed, 1e-6)}
+        targets = getattr(self._custom_dataset, "raw_targets", None) \
+            or getattr(self._custom_dataset, "targets", None)
+        if targets:
+            targets = list(targets)[:len(hypotheses)]
+            # recover raw text refs when the dataset stores processed ids
+            post = task.get_data_postprocess_fn(self._custom_dataset.status)
+            targets = [post(t) if not isinstance(t, str) else t
+                       for t in targets]
+            metric = task.get_eval_metric(args)
+            metric_result = metric(hypotheses, targets)
+            logging.info("Evaluation result: %s", metric_result)
+            results.update(metric_result)
+            if args.get("save_metric"):
+                import json
+                with open(args["save_metric"], "w") as f:
+                    json.dump(results, f, indent=2)
+        return {"hypotheses": hypotheses, "scores": scores, **results}

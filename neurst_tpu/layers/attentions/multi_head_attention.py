@@ -1,0 +1,147 @@
+# Copyright 2026 The NeurST-TPU Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+"""Multi-head attention with a static-shape incremental kv-cache.
+
+Parity: /root/reference/neurst/layers/attentions/multi_head_attention.py
+(fused qkv projection, einsum BTNH,BFNH->BNFT logits, query scaling by
+head_dim^-0.5, cached cross-attention k/v, static-shape decode cache).
+
+TPU-first redesign of the cache (SURVEY.md §7 "hard parts"): the decode
+cache is ALWAYS static-shape ``[batch*beam, max_len, heads, head_dim]``
+(the reference's ``padded_decode`` mode is the only mode).  Step updates
+use ``lax.dynamic_update_slice`` (no one-hot multiply), and beam reorder
+is a single ``jnp.take`` on the fused batch*beam axis.  Softmax runs in
+float32 regardless of the bf16 compute dtype.
+"""
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from neurst_tpu.layers.common_layers import apply_dropout
+
+__all__ = ["MultiHeadAttention", "MultiHeadSelfAttention"]
+
+Dtype = Any
+
+
+class MultiHeadAttention(nn.Module):
+    """Cross-attention (q from query; k/v from memory or cache)."""
+
+    num_heads: int
+    num_units: int
+    attention_key_depth: Optional[int] = None
+    attention_value_depth: Optional[int] = None
+    output_depth: Optional[int] = None
+    attention_dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @property
+    def key_depth(self):
+        return self.attention_key_depth or self.num_units
+
+    @property
+    def value_depth(self):
+        return self.attention_value_depth or self.num_units
+
+    @property
+    def out_depth(self):
+        return self.output_depth or self.num_units
+
+    def _proj(self, name, n_proj, depth):
+        """Fused projection -> [B, L, n_proj, heads, depth // heads]."""
+        return nn.DenseGeneral(
+            features=(n_proj, self.num_heads, depth // self.num_heads),
+            dtype=self.dtype, name=name,
+            kernel_init=nn.with_partitioning(
+                nn.initializers.glorot_uniform(),
+                ("embed", None, "heads", "head_dim")),
+            bias_init=nn.initializers.zeros)
+
+    def _out_proj(self):
+        return nn.DenseGeneral(
+            features=self.out_depth, axis=(-2, -1),
+            dtype=self.dtype, name="output_transform",
+            kernel_init=nn.with_partitioning(
+                nn.initializers.glorot_uniform(),
+                ("heads", "head_dim", "embed")),
+            bias_init=nn.initializers.zeros)
+
+    def setup(self):
+        self.q_transform = self._proj("q_transform", 1, self.key_depth)
+        self.kv_transform = self._proj("kv_transform", 2, self.key_depth)
+        self.output_transform = self._out_proj()
+
+    def _attend(self, q, k, v, bias, is_training):
+        """q [B,F,N,H], k/v [B,T,N,H], bias broadcastable to [B,N,F,T]."""
+        head_dim = q.shape[-1]
+        q = q * (head_dim ** -0.5)
+        logits = jnp.einsum("BTNH,BFNH->BNFT", k, q,
+                            preferred_element_type=jnp.float32)
+        if bias is not None:
+            logits = logits + bias.astype(jnp.float32)
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        weights = apply_dropout(self, weights, self.attention_dropout_rate,
+                                is_training)
+        out = jnp.einsum("BNFT,BTNH->BFNH", weights, v)
+        return self.output_transform(out)
+
+    def compute_kv(self, memory):
+        """Projects memory to (k, v), each [B, T, N, H]."""
+        kv = self.kv_transform(memory)
+        return kv[:, :, 0], kv[:, :, 1]
+
+    def __call__(self, query, memory=None, bias=None, cache=None,
+                 is_training=False) -> Tuple[jnp.ndarray, Optional[dict]]:
+        """Returns (output [B, F, out_depth], cache passthrough)."""
+        q = self.q_transform(query)[:, :, 0]
+        if cache is not None:
+            k, v = cache["keys"], cache["values"]
+        else:
+            k, v = self.compute_kv(memory)
+        return self._attend(q, k, v, bias, is_training), cache
+
+
+class MultiHeadSelfAttention(MultiHeadAttention):
+    """Self-attention with fused qkv and incremental static cache."""
+
+    def setup(self):
+        self.qkv_transform = self._proj("qkv_transform", 3, self.key_depth)
+        self.output_transform = self._out_proj()
+
+    def __call__(self, query, bias=None, cache=None, decode_step=None,
+                 is_training=False):
+        """Self-attention over `query` [B, F, D].
+
+        Incremental mode (``decode_step`` is not None): query is
+        [B, 1, D]; `cache` {"keys"/"values": [B, max_len, N, H]} is
+        scatter-updated at `decode_step`; caller's `bias` must mask
+        positions > decode_step.
+
+        Returns (output, new_cache).
+        """
+        qkv = self.qkv_transform(query)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if cache is not None and decode_step is not None:
+            keys = jax.lax.dynamic_update_slice(
+                cache["keys"], k.astype(cache["keys"].dtype),
+                (0, decode_step, 0, 0))
+            values = jax.lax.dynamic_update_slice(
+                cache["values"], v.astype(cache["values"].dtype),
+                (0, decode_step, 0, 0))
+            cache = {"keys": keys, "values": values}
+            k, v = keys, values
+        return self._attend(q, k, v, bias, is_training), cache

@@ -1,0 +1,146 @@
+# Copyright 2026 The NeurST-TPU Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+"""Transformer decoder stack with explicit decoding cache.
+
+Parity: /root/reference/neurst/layers/decoders/transformer_decoder.py
+(per-layer decoding cache contract required by beam search,
+``create_decoding_internal_cache``/``memorize_memory``,
+``decode_lagging`` source masking for wait-k).
+
+The cache is a plain pytree:
+    {"layer_0": {"self": {keys, values}, "memory": {keys, values}}, ...}
+self keys/values: [B, max_decode_len, heads, head_dim] (static shape);
+memory keys/values: [B, src_len, heads, head_dim] (precomputed once).
+Beam reorder = one ``jnp.take`` per leaf on axis 0.
+"""
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from neurst_tpu.layers import layer_utils
+from neurst_tpu.layers.common_layers import LayerNorm
+from neurst_tpu.layers.transformer_layers import TransformerDecoderLayer
+
+__all__ = ["TransformerDecoder"]
+
+
+class TransformerDecoder(nn.Module):
+    num_layers: int
+    hidden_size: int
+    num_attention_heads: int
+    filter_size: int
+    ffn_activation: str = "relu"
+    attention_dropout_rate: float = 0.0
+    ffn_dropout_rate: float = 0.0
+    layer_postprocess_dropout_rate: float = 0.0
+    post_normalize: bool = False
+    layer_postprocess_epsilon: float = 1e-6
+    with_cross_attention: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.layers = [
+            TransformerDecoderLayer(
+                hidden_size=self.hidden_size,
+                num_attention_heads=self.num_attention_heads,
+                filter_size=self.filter_size,
+                ffn_activation=self.ffn_activation,
+                attention_dropout_rate=self.attention_dropout_rate,
+                ffn_dropout_rate=self.ffn_dropout_rate,
+                layer_postprocess_dropout_rate=self.layer_postprocess_dropout_rate,
+                post_normalize=self.post_normalize,
+                layer_postprocess_epsilon=self.layer_postprocess_epsilon,
+                with_cross_attention=self.with_cross_attention,
+                dtype=self.dtype, name=f"layer_{i}")
+            for i in range(self.num_layers)]
+        if not self.post_normalize:
+            self.output_ln = LayerNorm(
+                epsilon=self.layer_postprocess_epsilon, dtype=self.dtype,
+                name="output_ln")
+
+    def create_decoding_internal_cache(self, encoder_outputs,
+                                       decode_padded_length: int,
+                                       batch_size: Optional[int] = None):
+        """Builds the static-shape cache for stepwise decoding: zeroed
+        self-attention buffers + precomputed cross-attention k/v."""
+        if batch_size is None:
+            batch_size = encoder_outputs.shape[0] \
+                if encoder_outputs is not None else 1
+        head_dim = self.hidden_size // self.num_attention_heads
+        cache = {}
+        for i, layer in enumerate(self.layers):
+            zeros = jnp.zeros(
+                (batch_size, decode_padded_length,
+                 self.num_attention_heads, head_dim), dtype=self.dtype)
+            layer_cache = {"self": {"keys": zeros, "values": zeros}}
+            if self.with_cross_attention:
+                layer_cache.update(layer.memorize_memory(encoder_outputs))
+            cache[f"layer_{i}"] = layer_cache
+        return cache
+
+    def __call__(self, inputs, memory=None, memory_padding=None,
+                 cache: Optional[dict] = None, decode_step=None,
+                 decode_lagging=None, is_training=False):
+        """Decoder forward.
+
+        Training / teacher forcing: ``inputs`` [B, T, D], causal bias.
+        Stepwise decode: ``inputs`` [B, 1, D] with ``decode_step`` t and
+        a cache from ``create_decoding_internal_cache``.
+
+        ``decode_lagging``: wait-k lagging; masks cross-attention so
+        position i attends source positions < i + lagging.
+
+        Returns (outputs, new_cache).
+        """
+        if decode_step is None:
+            length = inputs.shape[1]
+            self_bias = layer_utils.causal_self_attention_bias(length)
+        else:
+            length = 1
+            max_len = cache["layer_0"]["self"]["keys"].shape[1]
+            positions = jnp.arange(max_len)
+            self_bias = jnp.where(positions <= decode_step, 0.0,
+                                  layer_utils.NEG_INF)[None, None, None, :]
+
+        memory_bias = None
+        if self.with_cross_attention and memory_padding is not None:
+            memory_bias = layer_utils.input_padding_to_bias(memory_padding)
+            if decode_lagging is not None:
+                src_len = memory_padding.shape[1]
+                if decode_step is None:
+                    memory_bias = memory_bias + \
+                        layer_utils.waitk_cross_attention_bias(
+                            length, src_len, decode_lagging)
+                else:
+                    allowed = jnp.arange(src_len) < (decode_step
+                                                     + decode_lagging)
+                    memory_bias = memory_bias + jnp.where(
+                        allowed, 0.0, layer_utils.NEG_INF
+                    )[None, None, None, :]
+
+        x = inputs
+        new_cache = {} if cache is not None else None
+        for i, layer in enumerate(self.layers):
+            layer_cache = None if cache is None else cache.get(f"layer_{i}")
+            x, upd = layer(
+                x, self_attention_bias=self_bias, memory=memory,
+                memory_bias=memory_bias, cache=layer_cache,
+                decode_step=decode_step, is_training=is_training)
+            if new_cache is not None:
+                new_cache[f"layer_{i}"] = upd
+        if not self.post_normalize:
+            x = self.output_ln(x)
+        return x, new_cache

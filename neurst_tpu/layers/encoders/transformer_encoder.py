@@ -1,0 +1,78 @@
+# Copyright 2026 The NeurST-TPU Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+"""Transformer encoder stack.
+
+Parity: /root/reference/neurst/layers/encoders/transformer_encoder.py
+(stacked layers, final LN under pre-norm, optional monotonic/causal
+self-attention for simultaneous translation; ``incremental_encode``
+re-encodes a growing prefix for wait-k).
+"""
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from neurst_tpu.layers import layer_utils
+from neurst_tpu.layers.common_layers import LayerNorm
+from neurst_tpu.layers.transformer_layers import TransformerEncoderLayer
+
+__all__ = ["TransformerEncoder"]
+
+
+class TransformerEncoder(nn.Module):
+    num_layers: int
+    hidden_size: int
+    num_attention_heads: int
+    filter_size: int
+    ffn_activation: str = "relu"
+    attention_dropout_rate: float = 0.0
+    ffn_dropout_rate: float = 0.0
+    layer_postprocess_dropout_rate: float = 0.0
+    post_normalize: bool = False
+    layer_postprocess_epsilon: float = 1e-6
+    attention_monotonic: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.layers = [
+            TransformerEncoderLayer(
+                hidden_size=self.hidden_size,
+                num_attention_heads=self.num_attention_heads,
+                filter_size=self.filter_size,
+                ffn_activation=self.ffn_activation,
+                attention_dropout_rate=self.attention_dropout_rate,
+                ffn_dropout_rate=self.ffn_dropout_rate,
+                layer_postprocess_dropout_rate=self.layer_postprocess_dropout_rate,
+                post_normalize=self.post_normalize,
+                layer_postprocess_epsilon=self.layer_postprocess_epsilon,
+                dtype=self.dtype, name=f"layer_{i}")
+            for i in range(self.num_layers)]
+        if not self.post_normalize:
+            self.output_ln = LayerNorm(
+                epsilon=self.layer_postprocess_epsilon, dtype=self.dtype,
+                name="output_ln")
+
+    def __call__(self, inputs, inputs_padding, is_training=False):
+        """inputs [B, T, D]; inputs_padding [B, T] float (1=pad)."""
+        bias = layer_utils.input_padding_to_bias(inputs_padding)
+        if self.attention_monotonic:
+            bias = bias + layer_utils.causal_self_attention_bias(
+                inputs.shape[1])
+        x = inputs
+        for layer in self.layers:
+            x = layer(x, bias, is_training=is_training)
+        if not self.post_normalize:
+            x = self.output_ln(x)
+        return x

@@ -1,0 +1,232 @@
+# Copyright 2026 The NeurST-TPU Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+"""Static-shape beam search as a ``lax.while_loop``.
+
+Parity: /root/reference/neurst/layers/search/beam_search.py — GNMT
+length penalty ((5+len)/6)^-alpha (24-40), finished-beam EOS forcing and
+UNK masking (71-142), per-step top-k over the flattened beam*vocab axis
+(145-214), minimum/maximum decode length, early exit when all beams
+finish.
+
+TPU-first: the reference's ``padded_decode`` static-shape mode is the
+ONLY mode.  Every loop-carried tensor has a fixed shape; the per-beam
+cache reorder is one ``jnp.take`` over the fused batch*beam axis per
+leaf (SURVEY.md §7 "hard parts"); the t=0 "first beam only" restriction
+is realized by masking beams > 0 with -inf instead of slicing (keeps
+shapes static).
+"""
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from neurst_tpu.layers import layer_utils
+from neurst_tpu.layers.layer_utils import NEG_INF
+from neurst_tpu.layers.search.sequence_search import (SequenceSearch,
+                                                      register_search_layer)
+from neurst_tpu.utils.flags_core import Flag
+
+__all__ = ["sequence_beam_search", "BeamSearch"]
+
+
+def _length_penalty(lengths, alpha, dtype=jnp.float32):
+    """GNMT penalty; alpha None/negative -> 1/length (average logprob)."""
+    lengths = lengths.astype(dtype)
+    if alpha is None or alpha < 0.0:
+        return 1.0 / jnp.maximum(lengths, 1.0)
+    return ((5.0 + lengths) / 6.0) ** (-alpha)
+
+
+def sequence_beam_search(symbols_to_logits_fn: Callable,
+                         generation_initializer: dict,
+                         top_k: int = 1,
+                         beam_size: int = 4,
+                         length_penalty: float = 0.6,
+                         extra_decode_length: int = 50,
+                         maximum_decode_length: int = 256,
+                         minimum_decode_length: int = 0,
+                         enable_unk: bool = False):
+    """Beam search over a stepwise decode function.
+
+    Args:
+        symbols_to_logits_fn: fn(ids [N], cache, t) -> (logits [N, V],
+            new_cache); N = batch * beam after stacking.
+        generation_initializer: dict with ``decoder_input`` [B],
+            ``decoder_internal_cache`` (leaves with leading batch dim),
+            ``encoder_inputs_maxlen`` scalar, ``eos_id``, ``unk_id``.
+
+    Returns:
+        (hypotheses int32 [B * top_k, maximum_decode_length],
+         scores float32 [B * top_k])
+    """
+    eos_id = int(generation_initializer["eos_id"])
+    unk_id = generation_initializer.get("unk_id")
+    if enable_unk:
+        unk_id = None
+    decoder_input = generation_initializer["decoder_input"]
+    batch_size = decoder_input.shape[0]
+    bb = batch_size * beam_size
+
+    cache = jax.tree_util.tree_map(
+        lambda t: layer_utils.stack_beam_size(t, beam_size),
+        generation_initializer["decoder_internal_cache"])
+    input_ids = layer_utils.stack_beam_size(
+        decoder_input.astype(jnp.int32), beam_size)
+
+    enc_maxlen = generation_initializer.get("encoder_inputs_maxlen")
+    if enc_maxlen is None:
+        max_steps = jnp.asarray(maximum_decode_length, jnp.int32)
+    else:
+        max_steps = jnp.minimum(
+            jnp.asarray(enc_maxlen, jnp.int32) + extra_decode_length,
+            maximum_decode_length)
+    max_steps = jnp.maximum(max_steps, minimum_decode_length)
+
+    init_state = dict(
+        time=jnp.zeros([], jnp.int32),
+        input_ids=input_ids,
+        cache=cache,
+        finished=jnp.zeros([bb], jnp.bool_),
+        log_probs=jnp.zeros([bb], jnp.float32),
+        lengths=jnp.zeros([bb], jnp.int32),
+        predicted=jnp.zeros([bb, maximum_decode_length], jnp.int32),
+    )
+
+    # [bb] index helpers (static)
+    beam_base = (jnp.arange(bb) // beam_size) * beam_size
+    # beams > 0 masked at t=0 so top-k draws from beam 0 only
+    not_first_beam = (jnp.arange(bb) % beam_size) > 0
+
+    def cond_fn(state):
+        return jnp.logical_and(jnp.logical_not(jnp.all(state["finished"])),
+                               state["time"] < max_steps)
+
+    def body_fn(state):
+        time = state["time"]
+        logits, new_cache = symbols_to_logits_fn(
+            state["input_ids"], state["cache"], time)
+        vocab_size = logits.shape[-1]
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+        # finished beams: force EOS (keep score), mask everything else
+        fin = state["finished"][:, None]
+        eos_onehot = (jnp.arange(vocab_size) == eos_id)
+        finished_bias = jnp.where(eos_onehot, 0.0, NEG_INF)[None, :]
+        log_probs = jnp.where(fin, finished_bias, log_probs)
+
+        if unk_id is not None:
+            log_probs = log_probs + jnp.where(
+                jnp.arange(vocab_size) == unk_id, NEG_INF, 0.0)[None, :]
+
+        # min-length: mask EOS while time < min_len - 1
+        if minimum_decode_length > 0:
+            eos_mask = jnp.where(eos_onehot, NEG_INF, 0.0)[None, :]
+            log_probs = jnp.where(time < minimum_decode_length - 1,
+                                  log_probs + eos_mask, log_probs)
+
+        cum = log_probs + state["log_probs"][:, None]
+        next_length = state["lengths"] + 1 - state["finished"].astype(jnp.int32)
+        penalty = _length_penalty(next_length, length_penalty)
+        scores = cum * penalty[:, None]
+
+        # t=0: restrict to beam 0 (all beams identical -> avoid duplicates)
+        scores = jnp.where(
+            jnp.logical_and(time == 0, not_first_beam)[:, None],
+            NEG_INF * 2.0, scores)
+
+        flat = scores.reshape(batch_size, beam_size * vocab_size)
+        top_scores, top_idx = jax.lax.top_k(flat, k=beam_size)
+        top_idx = top_idx.reshape(-1)  # [bb]
+        word_ids = top_idx % vocab_size
+        beam_ids = top_idx // vocab_size + beam_base
+
+        next_lengths = jnp.take(next_length, beam_ids)
+        cum_flat = cum.reshape(-1)
+        next_log_probs = jnp.take(cum_flat, beam_ids * vocab_size + word_ids)
+
+        predicted = jnp.take(state["predicted"], beam_ids, axis=0)
+        predicted = jax.lax.dynamic_update_slice(
+            predicted, word_ids[:, None].astype(jnp.int32), (0, time))
+        reordered_cache = layer_utils.gather_beams(new_cache, beam_ids)
+        next_finished = (word_ids == eos_id)
+
+        return dict(
+            time=time + 1,
+            input_ids=word_ids.astype(jnp.int32),
+            cache=reordered_cache,
+            finished=next_finished,
+            log_probs=next_log_probs,
+            lengths=next_lengths,
+            predicted=predicted,
+        )
+
+    final = jax.lax.while_loop(cond_fn, body_fn, init_state)
+
+    # extract top_k hypotheses by final score
+    penalty = _length_penalty(final["lengths"], length_penalty)
+    scores = final["log_probs"] * penalty
+    scores = scores.reshape(batch_size, beam_size)
+    top_scores, top_idx = jax.lax.top_k(scores, k=top_k)
+    gather_idx = (top_idx
+                  + (jnp.arange(batch_size) * beam_size)[:, None]).reshape(-1)
+    hypotheses = jnp.take(final["predicted"], gather_idx, axis=0)
+    return hypotheses, top_scores.reshape(-1)
+
+
+@register_search_layer("beam_search")
+class BeamSearch(SequenceSearch):
+    """Search layer wrapping ``sequence_beam_search``
+    (flag parity: beam_search.py:430-496)."""
+
+    @staticmethod
+    def class_or_method_args():
+        return [
+            Flag("beam_size", dtype=Flag.TYPE.INTEGER, default=4,
+                 help="The beam width of beam search inference."),
+            Flag("length_penalty", dtype=Flag.TYPE.FLOAT, default=0.6,
+                 help="The length penalty (GNMT); negative for average "
+                      "log-prob normalization."),
+            Flag("top_k", dtype=Flag.TYPE.INTEGER, default=1,
+                 help="The number of hypotheses returned per sample."),
+            Flag("maximum_decode_length", dtype=Flag.TYPE.INTEGER,
+                 default=256, help="The maximum decoding length."),
+            Flag("minimum_decode_length", dtype=Flag.TYPE.INTEGER, default=0,
+                 help="The minimum decoding length."),
+            Flag("extra_decode_length", dtype=Flag.TYPE.INTEGER, default=50,
+                 help="Decode up to source length + this many steps."),
+            Flag("enable_unk", dtype=Flag.TYPE.BOOLEAN, default=False,
+                 help="Whether UNK may be generated."),
+            Flag("padded_decode", dtype=Flag.TYPE.BOOLEAN, default=True,
+                 help="Kept for recipe compatibility; static-shape decode "
+                      "is always on for TPU."),
+            Flag("ensemble_weights", dtype=Flag.TYPE.STRING, default=None,
+                 help="Comma-separated model weights for ensemble decode."),
+        ]
+
+    def __call__(self, params, parsed_inp: dict):
+        a = self._args
+        s2l, init = self._model.prepare_generation(
+            params, parsed_inp,
+            decode_padded_length=a.get("maximum_decode_length") or 256)
+        return sequence_beam_search(
+            s2l, init,
+            top_k=a.get("top_k") or 1,
+            beam_size=a.get("beam_size") or 4,
+            length_penalty=(-1.0 if a.get("length_penalty") is None
+                            else a["length_penalty"]),
+            extra_decode_length=a.get("extra_decode_length") or 50,
+            maximum_decode_length=a.get("maximum_decode_length") or 256,
+            minimum_decode_length=a.get("minimum_decode_length") or 0,
+            enable_unk=bool(a.get("enable_unk")))

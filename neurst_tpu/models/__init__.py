@@ -1,0 +1,4 @@
+from neurst_tpu.models.model import BaseModel, build_model, register_model  # noqa: F401
+from neurst_tpu.models.encoder_decoder_model import EncoderDecoderModel  # noqa: F401
+from neurst_tpu.models import transformer  # noqa: F401
+from neurst_tpu.models import speech_transformer  # noqa: F401

@@ -1,0 +1,121 @@
+# Copyright 2026 The NeurST-TPU Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+"""Device mesh + sharding rules: the single replacement for all five of
+the reference's DP backends (SURVEY.md §2.7 / §5).
+
+The reference reaches data parallelism through tf.distribute/Horovod/
+BytePS (``/root/reference/neurst/training/distribution_utils.py``).
+Here one ``jax.sharding.Mesh`` with axes ("data", "model") covers:
+  * data parallelism: batch sharded over "data"; XLA inserts the
+    gradient all-reduce over ICI;
+  * tensor parallelism: parameter logical axes ("mlp", "heads",
+    "vocab") map to "model";
+multi-host: ``jax.distributed.initialize`` + the same mesh spanning all
+processes (DCN between slices).
+"""
+
+import logging
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from flax import linen as nn
+
+__all__ = ["make_mesh", "LOGICAL_AXIS_RULES", "logical_to_mesh_sharding",
+           "params_shardings", "batch_sharding", "replicated"]
+
+# logical axis name -> mesh axis (None = replicated)
+LOGICAL_AXIS_RULES = (
+    ("batch", "data"),
+    ("vocab", "model"),
+    ("embed", None),
+    ("mlp", "model"),
+    ("heads", "model"),
+    ("head_dim", None),
+    ("kv", None),
+    ("conv_io", None),
+)
+
+
+def make_mesh(data_parallel: Optional[int] = None,
+              model_parallel: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Creates a ("data", "model") mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data_parallel is None:
+        assert n % model_parallel == 0, \
+            f"{n} devices not divisible by model_parallel={model_parallel}"
+        data_parallel = n // model_parallel
+    assert data_parallel * model_parallel == n, (
+        f"dp({data_parallel}) x tp({model_parallel}) != devices({n})")
+    dev_array = np.asarray(devices).reshape(data_parallel, model_parallel)
+    logging.info("Mesh: data=%d x model=%d over %d devices",
+                 data_parallel, model_parallel, n)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def logical_to_mesh_spec(logical_spec) -> PartitionSpec:
+    """Maps a logical PartitionSpec (axis names from layer annotations)
+    to a mesh PartitionSpec via LOGICAL_AXIS_RULES."""
+    rules = dict(LOGICAL_AXIS_RULES)
+    if logical_spec is None:
+        return PartitionSpec()
+    axes = []
+    for ax in logical_spec:
+        if ax is None:
+            axes.append(None)
+        else:
+            axes.append(rules.get(ax))
+    return PartitionSpec(*axes)
+
+
+def logical_to_mesh_sharding(logical_spec, mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, logical_to_mesh_spec(logical_spec))
+
+
+def params_shardings(mesh: Mesh, params_spec):
+    """Converts a pytree of logical PartitionSpecs (from
+    ``nn.get_partition_spec``) into NamedShardings on `mesh`."""
+    def _convert(spec):
+        if isinstance(spec, PartitionSpec):
+            return logical_to_mesh_sharding(spec, mesh)
+        return NamedSharding(mesh, PartitionSpec())
+    return jax.tree_util.tree_map(
+        _convert, params_spec,
+        is_leaf=lambda x: isinstance(x, PartitionSpec))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batches shard their leading axis over the "data" mesh axis."""
+    return NamedSharding(mesh, PartitionSpec("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def get_params_spec(model, rng=None):
+    """Partition-spec pytree for a model's parameters without
+    materializing them (eval_shape)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    def _init():
+        return model.module.init(
+            {"params": jax.random.PRNGKey(0)}, **model.example_inputs())
+    shapes = jax.eval_shape(_init)
+    return nn.get_partition_spec(shapes)["params"]

@@ -1,0 +1,110 @@
+# Copyright 2026 The NeurST-TPU Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+"""Jitted train/eval steps over a device mesh.
+
+Replaces the reference's GradAccumKerasModel + tf.distribute machinery
+(``/root/reference/neurst/training/gradaccum_keras_model.py:112-260``):
+* forward+backward compiled once; the gradient all-reduce is inserted by
+  XLA from the shardings (no NCCL/Horovod code);
+* gradient accumulation over ``update_cycle`` micro-batches is a
+  ``lax.scan`` inside the same jitted step (micro-batches stacked on a
+  leading axis), keeping weights untouched between micro-steps exactly
+  like the ON_READ accumulators in the reference;
+* grad clip by value/norm before apply (gradaccum_keras_model.py:230-246).
+"""
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+__all__ = ["TrainState", "make_train_step", "make_eval_step"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation):
+        return cls(step=jnp.zeros([], jnp.int32), params=params,
+                   opt_state=tx.init(params))
+
+
+def make_train_step(model, criterion, tx: optax.GradientTransformation,
+                    update_cycle: int = 1,
+                    lr_schedule: Optional[Callable] = None):
+    """Builds ``train_step(state, batch, rng) -> (state, metrics)``.
+
+    With ``update_cycle > 1`` every array in `batch` must have leading
+    shape [update_cycle, micro_batch, ...].
+    """
+
+    def loss_fn(params, batch, rng):
+        logits = model.call(params, batch, is_training=True,
+                            rngs={"dropout": rng})
+        loss = criterion.reduce_loss(batch, logits)
+        return loss
+
+    def compute_grads(params, batch, rng):
+        if update_cycle == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+            return loss, grads
+
+        def micro_step(carry, micro_batch_and_rng):
+            acc_loss, acc_grads = carry
+            micro_batch, micro_rng = micro_batch_and_rng
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, micro_batch, micro_rng)
+            acc_grads = jax.tree_util.tree_map(
+                lambda a, g: a + g, acc_grads, grads)
+            return (acc_loss + loss, acc_grads), None
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        rngs = jax.random.split(rng, update_cycle)
+        (loss_sum, grads), _ = jax.lax.scan(
+            micro_step, (jnp.zeros([], jnp.float32), zero_grads),
+            (batch, rngs))
+        inv = 1.0 / update_cycle
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        return loss_sum * inv, grads
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = compute_grads(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        metrics = {"loss": loss,
+                   "grad_norm": optax.global_norm(grads)}
+        if lr_schedule is not None:
+            metrics["lr"] = lr_schedule(state.step)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, criterion):
+    """``eval_step(params, batch) -> statistics tuple`` (for
+    criterion.reduce_metrics aggregation)."""
+
+    def eval_step(params, batch):
+        logits = model.call(params, batch, is_training=False)
+        return criterion(batch, logits)
+
+    return eval_step

@@ -13,3 +13,13 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The default matmul precision is bf16-grade even for f32 operands (TPU
+# MXU semantics); force true f32 accumulation for numeric parity tests.
+# NOTE: a pytest plugin (flax/chex) may import jax before this conftest,
+# and the axon TPU plugin ignores the JAX_PLATFORMS env var — set both
+# configs directly.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "float32")
+jax.config.update("jax_platforms", "cpu")
