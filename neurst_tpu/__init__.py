@@ -37,3 +37,4 @@ from neurst_tpu import exps  # noqa: F401
 from neurst_tpu import training  # noqa: F401
 from neurst_tpu.layers import search  # noqa: F401
 from neurst_tpu.utils import converters  # noqa: F401
+from neurst_tpu import sparsity  # noqa: F401

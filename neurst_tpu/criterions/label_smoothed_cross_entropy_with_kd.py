@@ -1,0 +1,80 @@
+# Copyright 2026 The NeurST-TPU Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+"""Label-smoothed CE + teacher-distillation term.
+
+Parity: /root/reference/neurst/criterions/
+label_smoothed_cross_entropy_with_kd.py — adds a KL(teacher || student)
+term weighted by ``kd_weight`` (CTNMT asymmetric distillation).  The
+teacher distribution comes from ``model_out["teacher_logits"]`` or
+``model_inp["teacher_probs"]``.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from neurst_tpu.criterions.criterion import register_criterion
+from neurst_tpu.criterions.label_smoothed_cross_entropy import \
+    LabelSmoothedCrossEntropy
+from neurst_tpu.layers.layer_utils import input_length_to_nonpadding
+from neurst_tpu.utils.flags_core import Flag
+
+__all__ = ["LabelSmoothedCrossEntropyWithKd"]
+
+
+@register_criterion("label_smoothed_cross_entropy_with_kd")
+class LabelSmoothedCrossEntropyWithKd(LabelSmoothedCrossEntropy):
+
+    def __init__(self, args=None):
+        super().__init__(args)
+        self._kd_weight = float(self._args.get("kd_weight") or 0.5)
+        self._kd_temperature = float(
+            self._args.get("kd_temperature") or 1.0)
+
+    @staticmethod
+    def class_or_method_args():
+        return LabelSmoothedCrossEntropy.class_or_method_args() + [
+            Flag("kd_weight", dtype=Flag.TYPE.FLOAT, default=0.5,
+                 help="The weight of the distillation term."),
+            Flag("kd_temperature", dtype=Flag.TYPE.FLOAT, default=1.0,
+                 help="The distillation softmax temperature."),
+        ]
+
+    def reduce_loss(self, model_inp, model_out):
+        ce = super().reduce_loss(model_inp, model_out)
+        logits = model_out["logits"] if isinstance(model_out, dict) \
+            else model_out
+        teacher_logits = None
+        if isinstance(model_out, dict):
+            teacher_logits = model_out.get("teacher_logits")
+        if teacher_logits is None:
+            teacher_logits = model_inp.get("teacher_logits")
+        if teacher_logits is None:
+            return ce
+        t = self._kd_temperature
+        student_lp = jax.nn.log_softmax(
+            logits.astype(jnp.float32) / t, axis=-1)
+        teacher_p = jax.nn.softmax(
+            teacher_logits.astype(jnp.float32) / t, axis=-1)
+        kl = jnp.sum(teacher_p * (jnp.log(jnp.maximum(teacher_p, 1e-20))
+                                  - student_lp), axis=-1)
+        labels = model_inp["trg"]
+        padding = model_inp.get("trg_padding")
+        if padding is not None:
+            weights = (1.0 - padding).astype(jnp.float32)
+        else:
+            weights = input_length_to_nonpadding(
+                model_inp["trg_length"], labels.shape[1])
+        kd_loss = jnp.sum(kl * weights) / jnp.maximum(jnp.sum(weights), 1.)
+        return (1.0 - self._kd_weight) * ce \
+            + self._kd_weight * (t ** 2) * kd_loss

@@ -32,6 +32,26 @@ __all__ = ["TextDataPipeline"]
                         "TranscriptDataPipeline")
 class TextDataPipeline(DataPipeline):
 
+    @staticmethod
+    def class_or_method_args():
+        from neurst_tpu.utils.flags_core import Flag
+        return [
+            Flag("vocab_path", dtype=Flag.TYPE.STRING, default=None,
+                 help="The path to the vocabulary file."),
+            Flag("language", dtype=Flag.TYPE.STRING, default="en",
+                 help="The language."),
+            Flag("tokenizer", dtype=Flag.TYPE.STRING, default=None,
+                 help="The tokenizer name."),
+            Flag("subtokenizer", dtype=Flag.TYPE.STRING, default=None,
+                 help="The subword tokenizer name (bpe/spm/...)."),
+            Flag("subtokenizer_codes", dtype=Flag.TYPE.STRING, default=None,
+                 help="The subword codes / model path."),
+            Flag("glossaries", dtype=Flag.TYPE.STRING, default=None,
+                 multiple=True, help="Terms never split by tokenizers."),
+            Flag("reverse_sequence", dtype=Flag.TYPE.BOOLEAN, default=False,
+                 help="Whether to reverse the sequence."),
+        ]
+
     def __init__(self,
                  vocab_path,
                  language="en",

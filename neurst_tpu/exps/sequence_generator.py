@@ -73,12 +73,47 @@ class SequenceGenerator(BaseExperiment):
         jit_search = jax.jit(lambda p, inp: search(p, inp))
         return lambda inp: jit_search(params, inp)
 
+    def _maybe_build_ensemble(self):
+        """Multiple model_dirs (comma-separated) -> prob-space ensemble
+        (parity: sequence_generator.py:86-109)."""
+        from neurst_tpu.utils.configurable import (ModelConfigs,
+                                                   flatten_string_list)
+        model_dirs = flatten_string_list(self._model_dir)
+        if len(model_dirs) <= 1:
+            return None
+        from neurst_tpu.models.ensemble_model import \
+            EncoderDecoderEnsembleModel
+        from neurst_tpu.tasks.task import build_task
+        models, params_list = [], []
+        for d in model_dirs:
+            cfg = ModelConfigs.load(d)
+            task = build_task(cfg)
+            model = task.build_model(cfg)
+            params = model.init_params(jax.random.PRNGKey(0))
+            path = ckpt_lib.latest_checkpoint(d)
+            if path:
+                flat = ckpt_lib.restore_checkpoint_params(path)
+                params, _, _ = ckpt_lib.restore_into(params, flat)
+                logging.info("Restored ensemble member from %s", path)
+            models.append(model)
+            params_list.append(params)
+        weights = self._args.get("ensemble_weights")
+        if isinstance(weights, str):
+            weights = [float(x) for x in weights.split(",")]
+        return EncoderDecoderEnsembleModel(models, params_list, weights)
+
     def run(self):
         task = self._task
-        model = self._model
         args = self._args
-        params = self.restore_params(
-            model.init_params(jax.random.PRNGKey(0)))
+        ensemble = self._maybe_build_ensemble()
+        if ensemble is not None:
+            self._model = ensemble
+            model = ensemble
+            params = None
+        else:
+            model = self._model
+            params = self.restore_params(
+                model.init_params(jax.random.PRNGKey(0)))
         generate = self.build_generation_fn(params)
 
         batch_iter = task.create_batch_iterator(

@@ -98,6 +98,15 @@ class Trainer(BaseExperiment):
             Flag("experimental_frozen_variables", dtype=Flag.TYPE.STRING,
                  default=None,
                  help="Regex of variables excluded from updates."),
+            ModuleFlag("pruning_schedule", "pruning_schedule",
+                       help="The weight pruning schedule (enables "
+                            "magnitude pruning when set)."),
+            Flag("pruning_variable_pattern", dtype=Flag.TYPE.STRING,
+                 default=None,
+                 help="Regex of variables included in pruning."),
+            Flag("nopruning_variable_pattern", dtype=Flag.TYPE.STRING,
+                 default=None,
+                 help="Regex of variables excluded from pruning."),
         ]
 
     def run(self):
@@ -107,28 +116,6 @@ class Trainer(BaseExperiment):
         model_dir = self._model_dir
 
         criterion = build_criterion(args)
-        lr_schedule = build_lr_schedule(args) \
-            if args.get("lr_schedule.class") else None
-        optimizer = build_optimizer(args)
-        lr = lr_schedule if lr_schedule is not None \
-            else (args.get("optimizer.params", {}).get("learning_rate")
-                  or 1e-3)
-        tx = create_optax_chain(optimizer, lr,
-                                clip_value=args.get("clip_value"),
-                                clip_norm=args.get("clip_norm"))
-        frozen_pattern = args.get("experimental_frozen_variables")
-        if frozen_pattern:
-            import re as _re
-            import optax as _optax
-            pat = _re.compile(frozen_pattern)
-
-            def _label(params):
-                flat = ckpt_lib.flatten_params(params)
-                labels = {k: ("frozen" if pat.search(k) else "train")
-                          for k in flat}
-                return ckpt_lib.unflatten_params(labels)
-            tx = _optax.multi_transform(
-                {"train": tx, "frozen": _optax.set_to_zero()}, _label)
 
         # ---------------- restore / init ---------------- #
         rng = jax.random.PRNGKey(int(args.get("seed") or 0))
@@ -158,12 +145,43 @@ class Trainer(BaseExperiment):
         if args.get("initial_global_step") is not None:
             init_step = args["initial_global_step"]
         compat.register_initial_step(init_step)
-        # (re)build the lr schedule so it sees the registered initial step
-        if args.get("lr_schedule.class"):
-            lr_schedule = build_lr_schedule(args)
-            tx = create_optax_chain(optimizer, lr_schedule,
-                                    clip_value=args.get("clip_value"),
-                                    clip_norm=args.get("clip_norm"))
+
+        # -------- optimizer chain (after the initial step is known,
+        # so resumed lr schedules continue where they left off) -------- #
+        lr_schedule = build_lr_schedule(args) \
+            if args.get("lr_schedule.class") else None
+        optimizer = build_optimizer(args)
+        lr = lr_schedule if lr_schedule is not None \
+            else (args.get("optimizer.params", {}).get("learning_rate")
+                  or 1e-3)
+        tx = create_optax_chain(optimizer, lr,
+                                clip_value=args.get("clip_value"),
+                                clip_norm=args.get("clip_norm"))
+        if args.get("pruning_schedule.class"):
+            from neurst_tpu.sparsity.pruning_optimizer import (
+                make_variable_filter, prune_gradients)
+            from neurst_tpu.sparsity.pruning_schedule import \
+                build_pruning_schedule
+            schedule = build_pruning_schedule(args)
+            tx = prune_gradients(
+                tx, schedule,
+                make_variable_filter(args.get("pruning_variable_pattern"),
+                                     args.get("nopruning_variable_pattern")))
+            logging.info("Enabled magnitude pruning: %s",
+                         args["pruning_schedule.class"])
+        frozen_pattern = args.get("experimental_frozen_variables")
+        if frozen_pattern:
+            import re as _re
+            import optax as _optax
+            pat = _re.compile(frozen_pattern)
+
+            def _label(params):
+                flat = ckpt_lib.flatten_params(params)
+                labels = {k: ("frozen" if pat.search(k) else "train")
+                          for k in flat}
+                return ckpt_lib.unflatten_params(labels)
+            tx = _optax.multi_transform(
+                {"train": tx, "frozen": _optax.set_to_zero()}, _label)
 
         # persist configs so predict/validation rebuild task+model
         if model_dir and jax.process_index() == 0:
@@ -193,9 +211,11 @@ class Trainer(BaseExperiment):
         train_step = make_train_step(model, criterion, tx,
                                      update_cycle=update_cycle,
                                      lr_schedule=lr_schedule)
+        # batch shardings are inherited from put_batch's placement (the
+        # batch may contain 0-d fields, e.g. waitk_lagging, which are
+        # replicated rather than data-sharded)
         jit_step = jax.jit(train_step,
-                           in_shardings=(state_shardings,
-                                         batch_sharding(mesh), None),
+                           in_shardings=(state_shardings, None, None),
                            out_shardings=(state_shardings, None),
                            donate_argnums=(0,))
 

@@ -38,13 +38,16 @@ def put_batch(mesh, batch: dict) -> dict:
     """Places a (process-local) numpy batch onto the mesh, sharding the
     leading axis over "data".  Works on one process (device_put) and on
     multi-host meshes (make_array_from_process_local_data)."""
+    from neurst_tpu.parallel.mesh import replicated
     sharding = batch_sharding(mesh)
+    repl = replicated(mesh)
     out = {}
     for k, v in batch.items():
         if not isinstance(v, np.ndarray) or v.dtype == object:
             continue  # host-only fields (raw strings etc.)
+        s = repl if v.ndim == 0 else sharding
         if jax.process_count() == 1:
-            out[k] = jax.device_put(v, sharding)
+            out[k] = jax.device_put(v, s)
         else:
-            out[k] = jax.make_array_from_process_local_data(sharding, v)
+            out[k] = jax.make_array_from_process_local_data(s, v)
     return out

@@ -43,12 +43,14 @@ _META_FILE = "checkpoint.json"
 
 
 def flatten_params(params, sep="/", prefix="") -> Dict[str, np.ndarray]:
+    """Flattens a nested dict to {path: leaf}.  Leaves are kept as-is
+    (works on traced arrays inside jit); savers convert to numpy."""
     out = {}
     if isinstance(params, dict):
         for k, v in params.items():
             out.update(flatten_params(v, sep, f"{prefix}{k}{sep}"))
     else:
-        out[prefix[:-len(sep)]] = np.asarray(params)
+        out[prefix[:-len(sep)]] = params
     return out
 
 
@@ -88,7 +90,7 @@ def save_checkpoint(model_dir: str, step: int, params,
                     max_to_keep: Optional[int] = 8) -> str:
     """Saves params (+ optional serialized optimizer state) at `step`."""
     os.makedirs(model_dir, exist_ok=True)
-    flat = flatten_params(params)
+    flat = {k: np.asarray(v) for k, v in flatten_params(params).items()}
     path = _ckpt_path(model_dir, step)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
