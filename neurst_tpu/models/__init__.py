@@ -6,3 +6,6 @@ from neurst_tpu.models import gpt2  # noqa: F401
 from neurst_tpu.models import bert  # noqa: F401
 from neurst_tpu.models import waitk_transformer  # noqa: F401
 from neurst_tpu.models.ensemble_model import EncoderDecoderEnsembleModel  # noqa: F401
+from neurst_tpu.models import light_convolution_model  # noqa: F401
+from neurst_tpu.models import ctnmt_transformer  # noqa: F401
+from neurst_tpu.models import wav2vec2  # noqa: F401

@@ -1,0 +1,115 @@
+# Copyright 2026 The NeurST-TPU Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+"""CTNMT: BERT-fused NMT (Yang et al., AAAI'20).
+
+Parity: /root/reference/neurst/models/ctnmt_transformer.py — wraps a
+BERT encoder; ``bert_mode`` in {bert_as_encoder, dynamic_switch,
+bert_distillation}:
+  * dynamic_switch: gated fusion g = sigmoid(W*bert + U*enc);
+    fused = g * bert + (1 - g) * enc  (172-197);
+  * bert_as_encoder: the BERT trunk replaces the source encoder;
+  * bert_distillation: standard encoder; BERT states returned for the
+    KD criterion.
+Use with the rate-scheduled optimizer (freeze/thaw BERT) and the KD
+criterion for asymmetric distillation.
+"""
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from neurst_tpu.models.bert import BertModule
+from neurst_tpu.models.encoder_decoder_model import (EncoderDecoderModel,
+                                                     Seq2SeqModule)
+from neurst_tpu.models.model import register_model
+from neurst_tpu.models.transformer import Transformer, _encdec_flags
+from neurst_tpu.utils.flags_core import Flag
+
+__all__ = ["CtnmtTransformer"]
+
+
+class CtnmtSeq2SeqModule(Seq2SeqModule):
+    bert_mode: str = "dynamic_switch"
+    bert_cfg: Optional[dict] = None
+
+    def setup(self):
+        super().setup()
+        cfg = dict(self.bert_cfg or {})
+        cfg.setdefault("vocab_size", self.src_vocab_size)
+        cfg.setdefault("hidden_size", self.src_dim)
+        self.bert = BertModule(dtype=self.dtype, name="bert", **cfg)
+        if self.bert_mode == "dynamic_switch":
+            self.ds_gate_w = nn.Dense(self.src_dim, use_bias=True,
+                                      dtype=self.dtype, name="ds_gate_w")
+            self.ds_gate_u = nn.Dense(self.src_dim, use_bias=False,
+                                      dtype=self.dtype, name="ds_gate_u")
+
+    def encode(self, inputs, is_training=False):
+        src_padding = self.src_padding_of(inputs)
+        bert_out = self.bert({"src": inputs["src"],
+                              "src_padding": src_padding},
+                             is_training=is_training)["encoder_outputs"]
+        if self.bert_mode == "bert_as_encoder":
+            return bert_out, src_padding
+        emb = self.embed_source(inputs["src"], is_training=is_training)
+        enc = self.encoder(emb, src_padding, is_training=is_training)
+        if self.bert_mode == "dynamic_switch":
+            gate = nn.sigmoid(self.ds_gate_w(bert_out)
+                              + self.ds_gate_u(enc))
+            enc = gate * bert_out + (1.0 - gate) * enc
+        # bert_distillation: plain encoder output; the KD loss uses the
+        # BERT states at the criterion level (teacher supplied there)
+        return enc, src_padding
+
+
+@register_model("ctnmt")
+class CtnmtTransformer(Transformer):
+
+    module_cls = CtnmtSeq2SeqModule
+
+    @staticmethod
+    def class_or_method_args():
+        return Transformer.class_or_method_args() + [
+            Flag("bert_mode", dtype=Flag.TYPE.STRING,
+                 default="dynamic_switch",
+                 choices=["bert_as_encoder", "dynamic_switch",
+                          "bert_distillation"],
+                 help="How the BERT trunk integrates with the NMT "
+                      "encoder."),
+            Flag("bert.num_layers", dtype=Flag.TYPE.INTEGER, default=12,
+                 help="The number of BERT layers."),
+            Flag("bert.hidden_size", dtype=Flag.TYPE.INTEGER, default=None,
+                 help="The BERT hidden size (defaults to modality.dim)."),
+            Flag("bert.num_attention_heads", dtype=Flag.TYPE.INTEGER,
+                 default=12, help="The number of BERT attention heads."),
+            Flag("bert.filter_size", dtype=Flag.TYPE.INTEGER, default=3072,
+                 help="The BERT ffn filter size."),
+            Flag("bert.max_positions", dtype=Flag.TYPE.INTEGER, default=512,
+                 help="The BERT maximum positions."),
+        ]
+
+    def module_kwargs(self):
+        kw = super().module_kwargs()
+        a = self._args
+        kw["bert_mode"] = a.get("bert_mode") or "dynamic_switch"
+        kw["bert_cfg"] = {
+            "num_layers": a.get("bert.num_layers") or 12,
+            "hidden_size": a.get("bert.hidden_size")
+            or kw.get("src_dim") or a.get("modality.dim"),
+            "num_attention_heads": a.get("bert.num_attention_heads") or 12,
+            "filter_size": a.get("bert.filter_size") or 3072,
+            "max_positions": a.get("bert.max_positions") or 512,
+        }
+        return kw

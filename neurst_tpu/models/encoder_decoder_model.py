@@ -86,14 +86,29 @@ class Seq2SeqModule(nn.Module):
                 kernel_init=nn.with_partitioning(
                     nn.initializers.lecun_normal(), ("embed", "vocab")))
 
+    @staticmethod
+    def filter_fields(cls, cfg: Optional[dict]) -> dict:
+        """Keeps only keys that are fields of the module class (drops
+        leftovers when configs from another model class are mixed in)."""
+        import dataclasses
+        import logging
+        names = {f.name for f in dataclasses.fields(cls)}
+        out, dropped = {}, []
+        for k, v in (cfg or {}).items():
+            (out.__setitem__(k, v) if k in names else dropped.append(k))
+        if dropped:
+            logging.warning("%s ignoring config keys: %s", cls.__name__,
+                            dropped)
+        return out
+
     # Overridable in subclasses (speech, waitk, lightconv ...)
     def build_encoder(self):
-        return TransformerEncoder(dtype=self.dtype, name="encoder",
-                                  **(self.encoder_cfg or {}))
+        cfg = self.filter_fields(TransformerEncoder, self.encoder_cfg)
+        return TransformerEncoder(dtype=self.dtype, name="encoder", **cfg)
 
     def build_decoder(self):
-        return TransformerDecoder(dtype=self.dtype, name="decoder",
-                                  **(self.decoder_cfg or {}))
+        cfg = self.filter_fields(TransformerDecoder, self.decoder_cfg)
+        return TransformerDecoder(dtype=self.dtype, name="decoder", **cfg)
 
     def embed_source(self, src, is_training=False):
         """Source tokens -> embeddings [B, S, D] (overridden for audio)."""

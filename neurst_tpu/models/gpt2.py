@@ -43,6 +43,7 @@ class GPT2Module(nn.Module):
     max_positions: int = 1024
     dropout_rate: float = 0.1
     timing: str = "emb"
+    ffn_activation: str = "gelu_approx"  # GPT-2 uses gelu_new (tanh approx)
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
 
@@ -55,7 +56,8 @@ class GPT2Module(nn.Module):
         self.decoder = TransformerDecoder(
             num_layers=self.num_layers, hidden_size=self.hidden_size,
             num_attention_heads=self.num_attention_heads,
-            filter_size=self.filter_size, ffn_activation="gelu",
+            filter_size=self.filter_size,
+            ffn_activation=self.ffn_activation,
             attention_dropout_rate=self.dropout_rate,
             ffn_dropout_rate=self.dropout_rate,
             layer_postprocess_dropout_rate=self.dropout_rate,
