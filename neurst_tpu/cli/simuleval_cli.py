@@ -1,0 +1,108 @@
+# Copyright 2026 The NeurST-TPU Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+"""Simultaneous-translation evaluation CLI.
+
+Parity: /root/reference/neurst/cli/simuleval_cli.py — the reference
+forks SimulEval's client/server loop.  This CLI ships a built-in
+simulator (no external service): it streams each source sentence
+token-by-token through the wait-k agent, reporting quality (BLEU) and
+latency (AL — Average Lagging, CW — Consecutive Wait).
+
+Usage:
+    python -m neurst_tpu.cli.simuleval_cli --model_dir waitk_ckpt \
+        --src_file test.src --ref_file test.ref [--wait_k 3]
+"""
+
+import argparse
+import logging
+
+import jax
+import numpy as np
+
+import neurst_tpu  # noqa: F401
+from neurst_tpu.tasks.task import build_task
+from neurst_tpu.utils import checkpoints as ckpt_lib
+from neurst_tpu.utils.compat import DataStatus
+from neurst_tpu.utils.configurable import ModelConfigs
+from neurst_tpu.utils.simuleval_agents.simul_trans_text_agent import (
+    SimulTransTextAgent, average_lagging)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser(description="Simultaneous MT evaluation.")
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--src_file", required=True)
+    p.add_argument("--ref_file", default=None)
+    p.add_argument("--wait_k", type=int, default=None,
+                   help="Override the decode-time lagging.")
+    p.add_argument("--max_decode_len", type=int, default=200)
+    p.add_argument("--output_file", default=None)
+    args = p.parse_args(argv)
+
+    cfg = ModelConfigs.load(args.model_dir)
+    task = build_task(cfg)
+    model = task.build_model(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    path = ckpt_lib.latest_checkpoint(args.model_dir)
+    if path:
+        flat = ckpt_lib.restore_checkpoint_params(path)
+        params, _, _ = ckpt_lib.restore_into(params, flat)
+        logging.info("Restored %s", path)
+    agent = SimulTransTextAgent(model, params, k=args.wait_k,
+                                max_decode_len=args.max_decode_len)
+
+    src_pipeline = task.src_pipeline
+    trg_pipeline = task.trg_pipeline
+    eos = src_pipeline.meta["eos_id"]
+    trg_meta = trg_pipeline.meta
+
+    hypotheses, lags, cws = [], [], []
+    with open(args.src_file, encoding="utf-8") as f:
+        sources = [line.strip() for line in f]
+    for i, src in enumerate(sources):
+        src_ids = src_pipeline.encode(src)
+        out_ids, delays = agent.translate(
+            src_ids, eos_id=trg_meta["eos_id"],
+            bos_id=trg_meta.get("bos_id"))
+        hyp = trg_pipeline.decode(out_ids + [trg_meta["eos_id"]])
+        hypotheses.append(hyp)
+        lags.append(average_lagging(delays, len(src_ids), len(out_ids)))
+        # CW: mean consecutive-read run length between writes
+        runs, run = [], 0
+        prev = 0
+        for d in delays:
+            runs.append(d - prev)
+            prev = d
+        cws.append(float(np.mean([r for r in runs if r > 0] or [0])))
+        if i < 3:
+            logging.info("sample %d | AL=%.2f | hyp: %s", i, lags[-1],
+                         hyp[:100])
+    results = {"AL": float(np.mean(lags)), "CW": float(np.mean(cws)),
+               "samples": len(hypotheses)}
+    if args.ref_file:
+        with open(args.ref_file, encoding="utf-8") as f:
+            refs = [line.strip() for line in f][:len(hypotheses)]
+        metric = task.get_eval_metric({})
+        results.update(metric(hypotheses, refs))
+    if args.output_file:
+        with open(args.output_file, "w", encoding="utf-8") as f:
+            for h in hypotheses:
+                f.write(h + "\n")
+    print(results)
+    return results
+
+
+if __name__ == "__main__":
+    main()

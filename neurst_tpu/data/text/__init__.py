@@ -8,3 +8,4 @@ from neurst_tpu.data.text import spm  # noqa: F401
 from neurst_tpu.data.text import jieba_tokenizer  # noqa: F401
 from neurst_tpu.data.text import huggingface_tokenizer  # noqa: F401
 from neurst_tpu.data.text import thai  # noqa: F401
+from neurst_tpu.data.text import subtokenizer  # noqa: F401

@@ -208,9 +208,20 @@ class Trainer(BaseExperiment):
             lambda s: s, out_shardings=state_shardings)(state)
 
         update_cycle = int(args.get("update_cycle") or 1)
+        params_transform = None
+        if args.get("enable_quant"):
+            from neurst_tpu.layers.quantization.quant_ops import \
+                quantize_params_fn
+            import yaml as _yaml
+            qp = args.get("quant_params")
+            if isinstance(qp, str):
+                qp = _yaml.safe_load(qp)
+            params_transform = quantize_params_fn(True, qp)
+            logging.info("Quantization-aware training enabled: %s", qp)
         train_step = make_train_step(model, criterion, tx,
                                      update_cycle=update_cycle,
-                                     lr_schedule=lr_schedule)
+                                     lr_schedule=lr_schedule,
+                                     params_transform=params_transform)
         # batch shardings are inherited from put_batch's placement (the
         # batch may contain 0-d fields, e.g. waitk_lagging, which are
         # replicated rather than data-sharded)

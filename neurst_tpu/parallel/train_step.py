@@ -47,14 +47,19 @@ class TrainState(struct.PyTreeNode):
 
 def make_train_step(model, criterion, tx: optax.GradientTransformation,
                     update_cycle: int = 1,
-                    lr_schedule: Optional[Callable] = None):
+                    lr_schedule: Optional[Callable] = None,
+                    params_transform: Optional[Callable] = None):
     """Builds ``train_step(state, batch, rng) -> (state, metrics)``.
 
     With ``update_cycle > 1`` every array in `batch` must have leading
-    shape [update_cycle, micro_batch, ...].
+    shape [update_cycle, micro_batch, ...].  ``params_transform`` (e.g.
+    QAT fake-quantization) is applied to the parameters inside the loss
+    with straight-through gradients.
     """
 
     def loss_fn(params, batch, rng):
+        if params_transform is not None:
+            params = params_transform(params)
         logits = model.call(params, batch, is_training=True,
                             rngs={"dropout": rng})
         loss = criterion.reduce_loss(batch, logits)
