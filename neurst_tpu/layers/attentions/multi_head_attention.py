@@ -123,8 +123,13 @@ class MultiHeadSelfAttention(MultiHeadAttention):
         self.output_transform = self._out_proj()
 
     def __call__(self, query, bias=None, cache=None, decode_step=None,
-                 is_training=False):
+                 is_training=False, flash_lengths=None,
+                 flash_causal=False):
         """Self-attention over `query` [B, F, D].
+
+        With ``flash_lengths`` (and no cache), the Pallas flash kernel
+        computes the attention (padding via lengths; optional causal),
+        never materializing the [F, T] probability matrix in HBM.
 
         Incremental mode (``decode_step`` is not None): query is
         [B, 1, D]; `cache` {"keys"/"values": [B, max_len, N, H]} is
@@ -135,6 +140,12 @@ class MultiHeadSelfAttention(MultiHeadAttention):
         """
         qkv = self.qkv_transform(query)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if cache is None and flash_lengths is not None \
+                and not (is_training and self.attention_dropout_rate > 0):
+            from neurst_tpu.ops.flash_attention import flash_attention
+            out = flash_attention(q, k, v, lengths=flash_lengths,
+                                  causal=flash_causal)
+            return self.output_transform(out), cache
         if cache is not None and decode_step is not None:
             keys = jax.lax.dynamic_update_slice(
                 cache["keys"], k.astype(cache["keys"].dtype),

@@ -43,6 +43,7 @@ class TransformerEncoder(nn.Module):
     post_normalize: bool = False
     layer_postprocess_epsilon: float = 1e-6
     attention_monotonic: bool = False
+    enable_flash_attention: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -66,13 +67,23 @@ class TransformerEncoder(nn.Module):
 
     def __call__(self, inputs, inputs_padding, is_training=False):
         """inputs [B, T, D]; inputs_padding [B, T] float (1=pad)."""
-        bias = layer_utils.input_padding_to_bias(inputs_padding)
-        if self.attention_monotonic:
-            bias = bias + layer_utils.causal_self_attention_bias(
-                inputs.shape[1])
+        flash_lengths = None
+        bias = None
+        if self.enable_flash_attention:
+            # padding is contiguous-on-the-right in this framework, so
+            # a per-row valid length fully encodes it for the kernel
+            flash_lengths = jnp.sum(
+                1.0 - inputs_padding, axis=1).astype(jnp.int32)
+        else:
+            bias = layer_utils.input_padding_to_bias(inputs_padding)
+            if self.attention_monotonic:
+                bias = bias + layer_utils.causal_self_attention_bias(
+                    inputs.shape[1])
         x = inputs
         for layer in self.layers:
-            x = layer(x, bias, is_training=is_training)
+            x = layer(x, bias, is_training=is_training,
+                      flash_lengths=flash_lengths,
+                      flash_causal=self.attention_monotonic)
         if not self.post_normalize:
             x = self.output_ln(x)
         return x

@@ -79,11 +79,14 @@ class TransformerEncoderLayer(_LayerCommon):
             dtype=self.dtype, name="ffn")
         self.ffn_ln = self._make_ln("ffn_ln")
 
-    def __call__(self, x, attention_bias, is_training=False):
+    def __call__(self, x, attention_bias, is_training=False,
+                 flash_lengths=None, flash_causal=False):
         x, _ = self._prepost(
             self.self_attention_ln, x,
             lambda y: self.self_attention(y, bias=attention_bias,
-                                          is_training=is_training),
+                                          is_training=is_training,
+                                          flash_lengths=flash_lengths,
+                                          flash_causal=flash_causal),
             is_training)
         x, _ = self._prepost(
             self.ffn_ln, x,

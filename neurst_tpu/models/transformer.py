@@ -60,6 +60,11 @@ def _encdec_flags(prefix):
                       dtype=Flag.TYPE.BOOLEAN, default=None,
                       help="Whether to apply a causal mask to encoder "
                            "self-attention (for simultaneous MT)."))
+        f.append(Flag("encoder.enable_flash_attention",
+                      dtype=Flag.TYPE.BOOLEAN, default=None,
+                      help="Use the Pallas flash-attention kernel for "
+                           "encoder self-attention (memory-light for "
+                           "long audio)."))
     return f
 
 
