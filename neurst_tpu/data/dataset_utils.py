@@ -201,13 +201,15 @@ def batch_by_tokens_bucketed(
         assert len(bucket_boundaries[f]) == num_buckets, \
             "bucket boundary lists must be associated (equal length)"
 
-    # per-bucket batch size: token budget split by the max padded length
+    # per-bucket batch size: token budget split by the max padded length,
+    # rounded to batch_size_multiple (>= it, so the batch dim always
+    # divides the data-parallel mesh axis)
     bucket_batch_sizes = []
     for i in range(num_buckets):
         max_len = max(bucket_boundaries[f][i] for f in fields)
         bs = max(batch_size_in_tokens // max_len, 1)
         bs = max((bs // batch_size_multiple) * batch_size_multiple,
-                 min(min_bucket_batch_size, bs))
+                 batch_size_multiple)
         bucket_batch_sizes.append(bs)
     shapes = sorted({(bucket_batch_sizes[i],) + tuple(
         bucket_boundaries[f][i] for f in fields) for i in range(num_buckets)})

@@ -98,6 +98,9 @@ class Trainer(BaseExperiment):
             Flag("experimental_frozen_variables", dtype=Flag.TYPE.STRING,
                  default=None,
                  help="Regex of variables excluded from updates."),
+            ModuleFlag("validator", "validator",
+                       help="Inline validator run every eval_steps "
+                            "(or use the sidecar 'validation' entry)."),
             ModuleFlag("pruning_schedule", "pruning_schedule",
                        help="The weight pruning schedule (enables "
                             "magnitude pruning when set)."),
@@ -234,6 +237,11 @@ class Trainer(BaseExperiment):
         train_steps = int(args.get("train_steps") or 10_000_000)
         save_every = int(args.get("save_checkpoint_steps") or 1000)
         log_every = int(args.get("summary_steps") or 200)
+        validator = None
+        if args.get("validator.class"):
+            from neurst_tpu.training.validator import build_validator
+            validator = build_validator(args).build(task, model, model_dir)
+            logging.info("Inline validator: %s", args["validator.class"])
         batch_iter_fn = task.create_batch_iterator(
             self._custom_dataset, compat.ModeKeys.TRAIN, args,
             num_replicas_in_sync=num_replicas,
@@ -284,6 +292,13 @@ class Trainer(BaseExperiment):
                     if step % save_every == 0 and model_dir \
                             and jax.process_index() == 0:
                         self._save(model_dir, step, state, args)
+                    if validator is not None \
+                            and validator.should_eval(step):
+                        params_host = jax.tree_util.tree_map(
+                            np.asarray, state.params)
+                        if validator.validate(step, params_host):
+                            logging.info("Early stop at step %d.", step)
+                            train_steps = step
                     if step >= train_steps:
                         break
                 if epoch_batches == 0:

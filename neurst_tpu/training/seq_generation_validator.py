@@ -49,7 +49,8 @@ class SeqGenerationValidator(Validator):
             Flag("eval_top_hypothesis_display", dtype=Flag.TYPE.INTEGER,
                  default=3, help="Log this many sample hypotheses."),
             Flag("eval_keep_best_checkpoints", dtype=Flag.TYPE.INTEGER,
-                 default=8, help="Keep top-k checkpoints by metric."),
+                 default=8, help="Keep top-k checkpoints by metric.",
+                 alias="eval_top_checkpoints_to_keep"),
         ]
 
     def build(self, task, model, model_dir=None):
@@ -76,7 +77,8 @@ class SeqGenerationValidator(Validator):
         self._display = int(a.get("eval_top_hypothesis_display") or 3)
         self._recorder = TrainingStatusRecorder(
             self._metric, model_dir=model_dir,
-            keep_best=a.get("eval_keep_best_checkpoints") or 8,
+            keep_best=(a.get("eval_keep_best_checkpoints")
+                       or a.get("eval_top_checkpoints_to_keep") or 8),
             keep_best_avg=(8 if a.get("eval_auto_average_checkpoints",
                                       True) else 0),
             estop_patience=a.get("eval_estop_patience"))
