@@ -59,6 +59,9 @@ FLAG_LIST = [
               "import before building."),
     Flag("seed", dtype=Flag.TYPE.INTEGER, default=0,
          help="The global random seed."),
+    Flag("distributed_init", dtype=Flag.TYPE.BOOLEAN, default=None,
+         help="Call jax.distributed.initialize() for multi-host meshes "
+              "(coordinator from env: JAX_COORDINATOR_ADDRESS etc.)."),
     ModuleFlag("entry", "entry", help="The program entry."),
     ModuleFlag("task", "task", help="The binding task."),
     ModuleFlag("model", "model", help="The model."),
@@ -118,6 +121,14 @@ def parse_and_merge(argv):
 
 
 def run_experiment(args):
+    if args.get("distributed_init"):
+        import jax
+        # one line replaces all five reference DP backends' cluster
+        # bootstrap (SURVEY.md §2.7): coordinator/process info from the
+        # standard env vars, then the same Mesh code spans all hosts.
+        jax.distributed.initialize()
+        logging.info("jax.distributed initialized: process %d/%d",
+                     jax.process_index(), jax.process_count())
     if args.get("enable_check_numerics"):
         import jax
         jax.config.update("jax_debug_nans", True)

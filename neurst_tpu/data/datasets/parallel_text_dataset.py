@@ -240,3 +240,41 @@ class InMemoryParallelTextDataset(AbstractParallelDataset):
     @property
     def num_samples(self):
         return len(self._src_list)
+
+
+@register_dataset("multilingual_translation_dataset")
+class MultilingualTranslationDataset(ParallelTextDataset):
+    """A parallel corpus tagged with its language direction.
+
+    Parity: neurst/data/datasets/multilingual_translation_dataset.py —
+    examples carry ``src_lang``/``trg_lang`` for the multilingual task
+    (combine several directions with ``mixed_train``).
+    """
+
+    def __init__(self, args=None):
+        super().__init__(args)
+        self._src_lang = self._args.get("src_lang")
+        self._trg_lang = self._args.get("trg_lang")
+
+    @staticmethod
+    def class_or_method_args():
+        return ParallelTextDataset.class_or_method_args() + [
+            Flag("src_lang", dtype=Flag.TYPE.STRING, default=None,
+                 help="The source language code."),
+            Flag("trg_lang", dtype=Flag.TYPE.STRING, default=None,
+                 help="The target language code."),
+        ]
+
+    def build_iterator(self, map_func=None, shard_id=0, total_shards=1):
+        base_iter = super().build_iterator(None, shard_id, total_shards)
+
+        def gen():
+            for example in base_iter():
+                example = dict(example)
+                example["src_lang"] = self._src_lang
+                example["trg_lang"] = self._trg_lang
+                if map_func is not None:
+                    example = map_func(example)
+                if example is not None:
+                    yield example
+        return gen

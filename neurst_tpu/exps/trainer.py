@@ -98,6 +98,11 @@ class Trainer(BaseExperiment):
             Flag("experimental_frozen_variables", dtype=Flag.TYPE.STRING,
                  default=None,
                  help="Regex of variables excluded from updates."),
+            Flag("enable_tensorboard", dtype=Flag.TYPE.BOOLEAN,
+                 default=True,
+                 help="Write TensorBoard scalars under model_dir/train."),
+            Flag("enable_profiler", dtype=Flag.TYPE.BOOLEAN, default=None,
+                 help="Start the jax.profiler trace server."),
             ModuleFlag("validator", "validator",
                        help="Inline validator run every eval_steps "
                             "(or use the sidecar 'validation' entry)."),
@@ -237,6 +242,13 @@ class Trainer(BaseExperiment):
         train_steps = int(args.get("train_steps") or 10_000_000)
         save_every = int(args.get("save_checkpoint_steps") or 1000)
         log_every = int(args.get("summary_steps") or 200)
+        from neurst_tpu.training.summary import (SummaryWriterWrapper,
+                                                 maybe_start_profiler)
+        writer = SummaryWriterWrapper(
+            os.path.join(model_dir, "train") if model_dir else None,
+            enabled=bool(args.get("enable_tensorboard", True))
+            and jax.process_index() == 0)
+        maybe_start_profiler(model_dir, bool(args.get("enable_profiler")))
         validator = None
         if args.get("validator.class"):
             from neurst_tpu.training.validator import build_validator
@@ -286,6 +298,16 @@ class Trainer(BaseExperiment):
                             log_every / elapsed, elapsed / log_every,
                             window_tokens / elapsed,
                             window_samples / elapsed)
+                        writer.scalars(
+                            "training",
+                            {"loss": last_loss,
+                             "lr": float(metrics.get("lr", 0.0)),
+                             "grad_norm":
+                                 float(metrics.get("grad_norm", 0.0)),
+                             "steps_per_sec": log_every / elapsed,
+                             "tokens_per_sec": window_tokens / elapsed,
+                             "samples_per_sec": window_samples / elapsed},
+                            step)
                         window_start = time.perf_counter()
                         window_tokens = 0
                         window_samples = 0
@@ -306,6 +328,7 @@ class Trainer(BaseExperiment):
                     break
         if model_dir and jax.process_index() == 0:
             self._save(model_dir, step, state, args)
+        writer.close()
         logging.info("Training finished at step %d (last loss: %s)",
                      step, last_loss)
         return state

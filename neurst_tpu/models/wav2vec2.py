@@ -68,9 +68,12 @@ class Wav2Vec2Module(nn.Module):
                                          name="feature_proj_ln")
         self.feature_proj = nn.Dense(self.hidden_size, dtype=self.dtype,
                                      name="feature_proj")
+        # fairseq/HF pad k//2 on both sides then drop the trailing
+        # sample for even kernels (pos conv is weight-normed there; the
+        # converter folds g*v/||v|| into a plain kernel)
         self.pos_conv = nn.Conv(
             features=self.hidden_size, kernel_size=(self.conv_pos_kernel,),
-            feature_group_count=self.conv_pos_groups, padding="SAME",
+            feature_group_count=self.conv_pos_groups, padding="VALID",
             dtype=self.dtype, name="pos_conv")
         self.post_extract_ln = LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                          name="post_extract_ln")
@@ -101,8 +104,13 @@ class Wav2Vec2Module(nn.Module):
         waveform = inputs["src"]
         feats = self.extract_features(waveform, is_training=is_training)
         x = self.feature_proj(self.feature_proj_ln(feats))
-        # relative positional conv + residual
-        x = x + jax.nn.gelu(self.pos_conv(x), approximate=False)
+        # relative positional conv + residual (HF/fairseq padding rules)
+        pad = self.conv_pos_kernel // 2
+        xp = jnp.pad(x, [(0, 0), (pad, pad), (0, 0)])
+        pos = self.pos_conv(xp)
+        if self.conv_pos_kernel % 2 == 0:
+            pos = pos[:, :-1]
+        x = x + jax.nn.gelu(pos, approximate=False)
         x = self.post_extract_ln(x)
         t = x.shape[1]
         if inputs.get("src_length") is not None:

@@ -382,3 +382,41 @@ class SpeechToText(Task):
             "language", self._trg_data_pipeline.meta.get("language", "en"))
         return build_metric({"metric.class": metric_cls,
                              "metric.params": params})
+
+
+@register_task("multi_task_speech_translation", "MultiTaskSpeechTranslation")
+class MultiTaskSpeechTranslation(SpeechToText):
+    """Joint ASR+ST data contract.
+
+    Parity: /root/reference/neurst/tasks/speech2text.py:399-495 — the
+    reference declares the joint task but leaves example_to_input /
+    batching / model build NotImplemented; this mirrors the contract
+    (separate transcript and translation pipelines, examples routed by
+    ``task_of``) and keeps the same NotImplemented surface for the
+    pieces the reference never shipped.
+    """
+
+    def __init__(self, args=None):
+        super().__init__(args)
+        self._translation_pipeline = _build_pipeline(
+            self._args, "translation_data_pipeline") \
+            if self._args.get("translation_data_pipeline.class") else None
+
+    @staticmethod
+    def class_or_method_args():
+        return SpeechToText.class_or_method_args() + [
+            ModuleFlag("translation_data_pipeline", "data_pipeline",
+                       help="The data pipeline for the translation text."),
+        ]
+
+    def example_to_input(self, batch_of_data, mode):
+        raise NotImplementedError(
+            "Joint ASR+ST batching is not implemented (parity: the "
+            "reference leaves speech2text.py:450-495 NotImplemented); "
+            "use SpeechToText with transcript_key=translation for ST or "
+            "mixed_speech_text for sampled multi-corpus training.")
+
+    def build_model(self, args, name=None, **kwargs):
+        raise NotImplementedError(
+            "Joint ASR+ST model build is not implemented (parity: "
+            "reference speech2text.py:492-495).")

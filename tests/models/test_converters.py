@@ -78,3 +78,39 @@ def test_bert_hf_parity(tmp_path):
     ours = np.asarray(out["encoder_outputs"])
     diff = float(np.max(np.abs(ours - hf_out)))
     assert diff < 5e-4, diff
+
+
+def test_wav2vec2_hf_parity(tmp_path):
+    transformers = pytest.importorskip("transformers")
+    cfg = transformers.Wav2Vec2Config(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[512] * 7,
+        num_conv_pos_embeddings=128, num_conv_pos_embedding_groups=16,
+        do_stable_layer_norm=False, feat_extract_norm="group",
+        hidden_dropout=0.0, attention_dropout=0.0,
+        feat_proj_dropout=0.0, layerdrop=0.0, activation_dropout=0.0)
+    hf = transformers.Wav2Vec2Model(cfg)
+    hf.eval()
+    pt_path = str(tmp_path / "w2v2.bin")
+    torch.save(hf.state_dict(), pt_path)
+
+    from neurst_tpu.utils.converters.converter import build_converter
+    conv = build_converter({"converter.class": "fairseq_wav2vec2",
+                            "converter.params": {"num_heads": 2}})
+    flat = conv.convert_to_flat(pt_path)
+
+    model = build_model({"model.class": "wav2vec2", "model.params": {
+        "num_layers": 2, "hidden_size": 32, "num_attention_heads": 2,
+        "filter_size": 64, "dropout_rate": 0.0, "dtype": "float32"}})
+    params = model.init_params(jax.random.PRNGKey(0))
+    params, restored, missing = restore_into(params, flat)
+    assert not missing, missing
+
+    wav = np.random.RandomState(0).randn(1, 4000).astype(np.float32)
+    with torch.no_grad():
+        hf_out = hf(torch.tensor(wav)).last_hidden_state.numpy()
+    out = model.call(params, {"src": wav})
+    ours = np.asarray(out["encoder_outputs"])
+    assert ours.shape == hf_out.shape, (ours.shape, hf_out.shape)
+    diff = float(np.max(np.abs(ours - hf_out)))
+    assert diff < 5e-3, diff
