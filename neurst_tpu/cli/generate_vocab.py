@@ -35,7 +35,26 @@ def main(argv=None):
                    help="Lowercase tokens before counting.")
     p.add_argument("--extra_slots", type=int, default=0,
                    help="Append this many unused slot tokens.")
+    p.add_argument("--wordpiece", action="store_true",
+                   help="Build a T2T wordpiece subtoken vocabulary "
+                        "instead of a word vocabulary.")
+    p.add_argument("--wordpiece_target_size", type=int, default=32768,
+                   help="Target subtoken vocabulary size.")
     args = p.parse_args(argv)
+
+    if args.wordpiece:
+        from neurst_tpu.data.text.subtokenizer import Subtokenizer
+
+        def corpus():
+            for path in args.input:
+                with open(path, "r", encoding="utf-8") as f:
+                    yield from f
+        st = Subtokenizer.build_from_corpus(
+            corpus(), target_vocab_size=args.wordpiece_target_size)
+        st.save_vocab(args.output)
+        print(f"Wrote {len(st.vocab_list)} subtokens to {args.output}",
+              file=sys.stderr)
+        return
 
     counter: Counter = Counter()
     for path in args.input:

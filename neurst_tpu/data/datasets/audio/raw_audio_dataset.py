@@ -304,3 +304,178 @@ class CommonVoice(RawAudioDataset):
                     out[parts[path_col]] = {
                         "transcript": parts[sent_col].strip()}
         return out
+
+
+@register_dataset("tedlium", "TedLium")
+class TedLium(RawAudioDataset):
+    """TED-LIUM release archives (parity: audio/tedlium.py): STM
+    transcript files reference sph audio segments by (start, end);
+    convert sph->wav for this environment."""
+
+    def load_transcripts(self):
+        out = {}
+        self._segments = []
+        for name, data in self._read_members(".stm").items():
+            for line in data.decode("utf-8", errors="ignore").splitlines():
+                parts = line.split(None, 6)
+                # <wav> <channel> <speaker> <start> <end> <label> <text>
+                if len(parts) < 7 or parts[6].strip() == "ignore_time_segment_in_scoring":
+                    continue
+                self._segments.append({
+                    "wav": parts[0], "start": float(parts[3]),
+                    "end": float(parts[4]),
+                    "transcript": parts[6].strip()})
+        for i, seg in enumerate(self._segments):
+            for ext in (".sph", ".wav"):
+                out.setdefault(seg["wav"] + ext, []).append(i)
+        return out
+
+    def build_iterator(self, map_func=None, shard_id=0, total_shards=1):
+        wav_to_segments = self._transcripts()
+
+        def gen():
+            idx = 0
+            with tarfile.open(self._input_tarball, "r|*") as tar:
+                for member in tar:
+                    if not member.isfile():
+                        continue
+                    key = os.path.basename(member.name)
+                    if os.path.splitext(key)[1].lower() not in \
+                            (".wav", ".sph", ".flac"):
+                        continue  # transcript/metadata members
+                    seg_ids = wav_to_segments.get(key) \
+                        or wav_to_segments.get(
+                            os.path.splitext(key)[0] + ".wav")
+                    if not seg_ids:
+                        continue
+                    data = tar.extractfile(member).read()
+                    waveform, rate = decode_audio(
+                        data, os.path.splitext(member.name)[1])
+                    for si in seg_ids:
+                        seg = self._segments[si]
+                        if total_shards > 1 \
+                                and idx % total_shards != shard_id:
+                            idx += 1
+                            continue
+                        idx += 1
+                        clip = waveform[int(seg["start"] * rate):
+                                        int(seg["end"] * rate)]
+                        if self._feature_extractor is not None:
+                            feats = self._feature_extractor(clip, rate)
+                            ex = {"audio":
+                                  feats.reshape(-1).astype(np.float32),
+                                  "audio_length": feats.shape[0]}
+                        else:
+                            ex = {"audio": clip.astype(np.float32),
+                                  "audio_length": len(clip)}
+                        ex["transcript"] = seg["transcript"]
+                        if map_func is not None:
+                            ex = map_func(ex)
+                        if ex is not None:
+                            yield ex
+        return gen
+
+
+@register_dataset("gigaspeech", "GigaSpeech")
+class GigaSpeech(RawAudioDataset):
+    """GigaSpeech (parity: audio/gigaspeech.py): a JSON index with
+    per-segment (begin_time, end_time, text_tn) into long opus/wav."""
+
+    def load_transcripts(self):
+        import json as _json
+        out = {}
+        self._segments = []
+        members = self._read_members(".json")
+        for name, data in members.items():
+            meta = _json.loads(data.decode("utf-8"))
+            for audio in meta.get("audios", []):
+                path = os.path.basename(audio.get("path", ""))
+                for seg in audio.get("segments", []):
+                    self._segments.append({
+                        "wav": path,
+                        "start": float(seg.get("begin_time", 0)),
+                        "end": float(seg.get("end_time", 0)),
+                        "transcript": seg.get("text_tn", "").strip()})
+        for i, seg in enumerate(self._segments):
+            out.setdefault(seg["wav"], []).append(i)
+        return out
+
+    build_iterator = TedLium.build_iterator
+
+
+@register_dataset("iwslt_audio", "IWSLTAudio")
+class IWSLTAudio(RawAudioDataset):
+    """IWSLT evaluation sets (parity: audio/iwslt.py): segment yaml
+    (wav, offset, duration) + parallel text files, MuST-C-style."""
+
+    def load_transcripts(self):
+        import yaml as _yaml
+        members = self._read_members(".yaml", ".en", ".de", ".fr")
+        seg_yaml, texts = None, {}
+        for name, data in members.items():
+            if name.endswith(".yaml"):
+                seg_yaml = _yaml.safe_load(data.decode("utf-8"))
+            else:
+                texts[name.rsplit(".", 1)[1]] = \
+                    data.decode("utf-8").splitlines()
+        if seg_yaml is None:
+            raise FileNotFoundError("IWSLT archive needs a segments yaml")
+        out = {}
+        self._segments = []
+        src = texts.get("en", [None] * len(seg_yaml))
+        trg = texts.get("de") or texts.get("fr") \
+            or [None] * len(seg_yaml)
+        for i, seg in enumerate(seg_yaml):
+            entry = {"wav": seg["wav"], "start": float(seg["offset"]),
+                     "end": float(seg["offset"]) + float(seg["duration"])}
+            if i < len(src) and src[i] is not None:
+                entry["transcript"] = src[i].strip()
+            if i < len(trg) and trg[i] is not None:
+                entry["translation"] = trg[i].strip()
+            self._segments.append(entry)
+        for i, seg in enumerate(self._segments):
+            out.setdefault(seg["wav"], []).append(i)
+        return out
+
+    def build_iterator(self, map_func=None, shard_id=0, total_shards=1):
+        wav_to_segments = self._transcripts()
+
+        def gen():
+            idx = 0
+            with tarfile.open(self._input_tarball, "r|*") as tar:
+                for member in tar:
+                    if not member.isfile():
+                        continue
+                    key = os.path.basename(member.name)
+                    seg_ids = wav_to_segments.get(key) \
+                        or wav_to_segments.get(member.name)
+                    if not seg_ids:
+                        continue
+                    data = tar.extractfile(member).read()
+                    waveform, rate = decode_audio(
+                        data, os.path.splitext(member.name)[1])
+                    for si in seg_ids:
+                        seg = self._segments[si]
+                        if total_shards > 1 \
+                                and idx % total_shards != shard_id:
+                            idx += 1
+                            continue
+                        idx += 1
+                        clip = waveform[int(seg["start"] * rate):
+                                        int(seg["end"] * rate)]
+                        if self._feature_extractor is not None:
+                            feats = self._feature_extractor(clip, rate)
+                            ex = {"audio":
+                                  feats.reshape(-1).astype(np.float32),
+                                  "audio_length": feats.shape[0]}
+                        else:
+                            ex = {"audio": clip.astype(np.float32),
+                                  "audio_length": len(clip)}
+                        for k in ("transcript", "translation"):
+                            if k in seg:
+                                ex[k] = seg[k]
+                        if map_func is not None:
+                            ex = map_func(ex)
+                        if ex is not None:
+                            yield ex
+        return gen

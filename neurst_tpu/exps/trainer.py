@@ -98,6 +98,9 @@ class Trainer(BaseExperiment):
             Flag("experimental_frozen_variables", dtype=Flag.TYPE.STRING,
                  default=None,
                  help="Regex of variables excluded from updates."),
+            Flag("gradient_remat", dtype=Flag.TYPE.BOOLEAN, default=None,
+                 help="Rematerialize the forward pass in backward "
+                      "(jax.checkpoint): trades FLOPs for HBM."),
             Flag("enable_tensorboard", dtype=Flag.TYPE.BOOLEAN,
                  default=True,
                  help="Write TensorBoard scalars under model_dir/train."),
@@ -190,6 +193,7 @@ class Trainer(BaseExperiment):
                 return ckpt_lib.unflatten_params(labels)
             tx = _optax.multi_transform(
                 {"train": tx, "frozen": _optax.set_to_zero()}, _label)
+        tx = self._wrap_tx(tx)
 
         # persist configs so predict/validation rebuild task+model
         if model_dir and jax.process_index() == 0:
@@ -229,7 +233,8 @@ class Trainer(BaseExperiment):
         train_step = make_train_step(model, criterion, tx,
                                      update_cycle=update_cycle,
                                      lr_schedule=lr_schedule,
-                                     params_transform=params_transform)
+                                     params_transform=params_transform,
+                                     remat=bool(args.get("gradient_remat")))
         # batch shardings are inherited from put_batch's placement (the
         # batch may contain 0-d fields, e.g. waitk_lagging, which are
         # replicated rather than data-sharded)
@@ -332,6 +337,11 @@ class Trainer(BaseExperiment):
         logging.info("Training finished at step %d (last loss: %s)",
                      step, last_loss)
         return state
+
+    def _wrap_tx(self, tx):
+        """Subclass hook: wrap the final optimizer chain (e.g. the
+        prune_tune partial trainer masks updates here)."""
+        return tx
 
     def _save(self, model_dir, step, state, args):
         params_host = jax.tree_util.tree_map(np.asarray, state.params)

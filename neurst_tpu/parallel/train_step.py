@@ -48,7 +48,8 @@ class TrainState(struct.PyTreeNode):
 def make_train_step(model, criterion, tx: optax.GradientTransformation,
                     update_cycle: int = 1,
                     lr_schedule: Optional[Callable] = None,
-                    params_transform: Optional[Callable] = None):
+                    params_transform: Optional[Callable] = None,
+                    remat: bool = False):
     """Builds ``train_step(state, batch, rng) -> (state, metrics)``.
 
     With ``update_cycle > 1`` every array in `batch` must have leading
@@ -57,13 +58,19 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
     with straight-through gradients.
     """
 
+    def _forward(params, batch, rng):
+        logits = model.call(params, batch, is_training=True,
+                            rngs={"dropout": rng})
+        return criterion.reduce_loss(batch, logits)
+
+    if remat:
+        # recompute activations in backward: HBM for FLOPs (SURVEY §0)
+        _forward = jax.checkpoint(_forward)
+
     def loss_fn(params, batch, rng):
         if params_transform is not None:
             params = params_transform(params)
-        logits = model.call(params, batch, is_training=True,
-                            rngs={"dropout": rng})
-        loss = criterion.reduce_loss(batch, logits)
-        return loss
+        return _forward(params, batch, rng)
 
     def compute_grads(params, batch, rng):
         if update_cycle == 1:
