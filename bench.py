@@ -26,8 +26,8 @@ BATCH = 16
 FRAMES = 1024        # ~10.2 s of audio at 100 fps
 MAX_DECODE = 64
 BEAM = 4
-WARMUP = 1
-ITERS = 4
+WARMUP = 2
+ITERS = 10
 
 
 def main():
@@ -59,14 +59,17 @@ def main():
     for _ in range(WARMUP):
         hyp, scores = decode(params, inputs)
         jax.block_until_ready(hyp)
-    start = time.perf_counter()
+    times = []
     for _ in range(ITERS):
+        start = time.perf_counter()
         hyp, scores = decode(params, inputs)
         jax.block_until_ready(hyp)
-    elapsed = time.perf_counter() - start
+        times.append(time.perf_counter() - start)
+    # median batch time: robust to host/tunnel contention spikes
+    elapsed = sorted(times)[len(times) // 2]
 
-    utt_per_sec = BATCH * ITERS / elapsed
-    audio_secs = BATCH * ITERS * (FRAMES / 100.0)
+    utt_per_sec = BATCH / elapsed
+    audio_secs = BATCH * (FRAMES / 100.0)
     rtf = elapsed / audio_secs  # real-time factor (lower is better)
     print(json.dumps({
         "metric": "st_beam4_decode_utterances_per_sec_per_chip",

@@ -47,6 +47,25 @@ class Evaluator(BaseExperiment):
         ]
 
     def run(self):
+        from neurst_tpu.data.datasets.mixed_train_dataset import \
+            MultipleDataset
+        if isinstance(self._custom_dataset, MultipleDataset):
+            # weighted-average metrics over named datasets
+            # (parity: evaluator.py:31-101 mixed reduction)
+            per_ds = {}
+            weighted = {}
+            for name, sub in sorted(
+                    self._custom_dataset.datasets.items()):
+                sub_exp = Evaluator(self._args, task=self._task,
+                                    model=self._model, custom_dataset=sub,
+                                    model_dir=self._model_dir)
+                res = sub_exp.run()
+                per_ds[name] = res
+                w = self._custom_dataset.sample_weights.get(name, 0.0)
+                for k, v in res.items():
+                    weighted[k] = weighted.get(k, 0.0) + w * float(v)
+            logging.info("Weighted mixture evaluation: %s", weighted)
+            return {"datasets": per_ds, "weighted": weighted}
         args = self._args
         criterion = build_criterion(args)
         params = self._model.init_params(jax.random.PRNGKey(0))

@@ -103,6 +103,30 @@ class SequenceGenerator(BaseExperiment):
         return EncoderDecoderEnsembleModel(models, params_list, weights)
 
     def run(self):
+        from neurst_tpu.data.datasets.mixed_train_dataset import \
+            MultipleDataset
+        if isinstance(self._custom_dataset, MultipleDataset):
+            # per-dataset decode + metrics with a weighted mixture
+            # (parity: sequence_generator.py multi-dataset handling)
+            all_results = {}
+            weighted = {}
+            base_output = self._args.get("output_file")
+            for name, sub in sorted(
+                    self._custom_dataset.datasets.items()):
+                logging.info("===== decoding dataset '%s' =====", name)
+                sub_exp = SequenceGenerator(
+                    dict(self._args, output_file=(
+                        f"{base_output}.{name}" if base_output else None)),
+                    task=self._task, model=self._model,
+                    custom_dataset=sub, model_dir=self._model_dir)
+                res = sub_exp.run()
+                all_results[name] = res
+                w = self._custom_dataset.sample_weights.get(name, 0.0)
+                for k, v in res.items():
+                    if isinstance(v, (int, float)) and k != "samples":
+                        weighted[k] = weighted.get(k, 0.0) + w * v
+            logging.info("Weighted mixture metrics: %s", weighted)
+            return {"datasets": all_results, "weighted": weighted}
         task = self._task
         args = self._args
         ensemble = self._maybe_build_ensemble()
