@@ -104,7 +104,9 @@ def decode_audio(data: bytes, fmt: str) -> Tuple[np.ndarray, int]:
     fmt = fmt.lower().lstrip(".")
     if fmt in ("wav", "wave"):
         return decode_wav(data)
+    if fmt == "flac":
+        from neurst_tpu.data.audio.flac_io import decode_flac
+        return decode_flac(data)
     raise NotImplementedError(
-        f"No decoder for '{fmt}' in this environment (wav only; "
-        f"flac/mp3/sph corpora must be converted to wav or "
-        f"pre-extracted features first).")
+        f"No decoder for '{fmt}' in this environment (wav/flac; "
+        f"mp3/sph corpora must be converted or pre-extracted first).")
