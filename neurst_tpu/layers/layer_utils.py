@@ -84,3 +84,27 @@ def gather_beams(nested, beam_indices):
     import jax
     return jax.tree_util.tree_map(
         lambda t: jnp.take(t, beam_indices, axis=0), nested)
+
+
+def gather_beams_selective(nested, beam_indices, skip_keys=("memory",
+                                                           "memory_padding")):
+    """Beam-reorders a cache pytree, skipping batch-invariant subtrees.
+
+    Beam hypotheses of the same sentence share identical encoder-derived
+    state (cross-attention k/v, memory padding): `beam_indices` only
+    permutes within each sentence's beam block, so those leaves are
+    fixed points of the gather.  Skipping them cuts the per-step HBM
+    traffic of beam reordering by ~an order of magnitude for speech
+    inputs (long source, short target).
+    """
+    import jax
+
+    def walk(node, under_skip):
+        if isinstance(node, dict):
+            return {k: walk(v, under_skip or (k in skip_keys))
+                    for k, v in node.items()}
+        if under_skip or node is None:
+            return node
+        return jnp.take(node, beam_indices, axis=0)
+
+    return walk(nested, False)
