@@ -31,7 +31,8 @@ class BertDataPipeline(DataPipeline):
 
     def __init__(self, language="en", tokens=None, vocab_path=None,
                  tokenizer_name=None, **kwargs):
-        super().__init__(language=language, vocab_path=vocab_path, **kwargs)
+        super().__init__(language=language, vocab_path=vocab_path,
+                         tokenizer_name=tokenizer_name, **kwargs)
         if tokens is None and vocab_path is None:
             raise ValueError("BertDataPipeline requires `vocab_path` or "
                              "`tokens`.")

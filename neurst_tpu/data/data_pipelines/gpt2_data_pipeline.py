@@ -33,7 +33,8 @@ class GPT2DataPipeline(DataPipeline):
 
     def __init__(self, language="en", tokens=None, vocab_path=None,
                  tokenizer_name="gpt2", **kwargs):
-        super().__init__(language=language, vocab_path=vocab_path, **kwargs)
+        super().__init__(language=language, vocab_path=vocab_path,
+                         tokenizer_name=tokenizer_name, **kwargs)
         if tokens is None and vocab_path is None:
             raise ValueError(
                 "GPT2DataPipeline requires `vocab_path` (OpenAI "

@@ -35,6 +35,7 @@ class MultilingualTextDataPipeline(DataPipeline):
     def __init__(self, vocab_path, languages, spm_model=None,
                  tokenizer="spm", reverse_sequence=False, **kwargs):
         super().__init__(vocab_path=vocab_path, languages=languages,
+                         spm_model=spm_model, tokenizer=tokenizer,
                          reverse_sequence=reverse_sequence, **kwargs)
         self._reverse_sequence = reverse_sequence
         self._tokenizer = build_tokenizer_by_name(tokenizer) \

@@ -118,6 +118,15 @@ class Trainer(BaseExperiment):
             Flag("nopruning_variable_pattern", dtype=Flag.TYPE.STRING,
                  default=None,
                  help="Regex of variables excluded from pruning."),
+            Flag("rate_scheduled_pattern", dtype=Flag.TYPE.STRING,
+                 default=None,
+                 help="Regex of variables with rate-scheduled updates "
+                      "(CTNMT: freeze then ramp, e.g. 'bert')."),
+            Flag("rate_freeze_until", dtype=Flag.TYPE.INTEGER, default=0,
+                 help="Matched variables frozen until this step."),
+            Flag("rate_ramp_steps", dtype=Flag.TYPE.INTEGER, default=1,
+                 help="Matched variables ramp to full updates over this "
+                      "many steps."),
         ]
 
     def run(self):
@@ -193,6 +202,15 @@ class Trainer(BaseExperiment):
                 return ckpt_lib.unflatten_params(labels)
             tx = _optax.multi_transform(
                 {"train": tx, "frozen": _optax.set_to_zero()}, _label)
+        if args.get("rate_scheduled_pattern"):
+            from neurst_tpu.optimizers.rate_schedule_optimizer import \
+                rate_scheduled_updates
+            tx = rate_scheduled_updates(
+                tx, args["rate_scheduled_pattern"],
+                freeze_until=int(args.get("rate_freeze_until") or 0),
+                ramp_steps=int(args.get("rate_ramp_steps") or 1))
+            logging.info("Rate-scheduled updates for pattern '%s'",
+                         args["rate_scheduled_pattern"])
         tx = self._wrap_tx(tx)
 
         # persist configs so predict/validation rebuild task+model

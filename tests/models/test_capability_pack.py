@@ -185,3 +185,24 @@ def test_mixed_dataset_sampling_ratio():
         counts[ex["dataset_key"]] += 1
     # near-uniform sampling despite 9:1 size imbalance
     assert 120 < counts["small"] < 280, counts
+
+
+def test_rate_scheduled_updates_freeze_and_ramp():
+    from neurst_tpu.optimizers.rate_schedule_optimizer import \
+        rate_scheduled_updates
+    tx = rate_scheduled_updates(optax.sgd(1.0), pattern="bert",
+                                freeze_until=2, ramp_steps=2)
+    params = {"bert": {"w": jnp.ones([2])}, "dec": {"w": jnp.ones([2])}}
+    state = tx.init(params)
+    grads = {"bert": {"w": jnp.ones([2])}, "dec": {"w": jnp.ones([2])}}
+    factors = []
+    for _ in range(5):
+        updates, state = tx.update(grads, state, params)
+        # sgd(1.0) update = -grad * factor for matched vars
+        factors.append(float(-updates["bert"]["w"][0]))
+        assert float(-updates["dec"]["w"][0]) == 1.0
+    # factor = clip((step - freeze_until) / ramp_steps, 0, 1)
+    assert factors[0] == 0.0 and factors[1] == 0.0      # frozen
+    assert factors[2] == 0.0                             # ramp starts at 0
+    assert 0.0 < factors[3] < 1.0                        # ramping
+    assert factors[4] == 1.0                             # fully on
