@@ -141,29 +141,45 @@ def shuffle_iterator(it: Iterator, buffer_size: int, seed: Optional[int] = None
 
 def prefetch_iterator(it: Iterator, buffer_size: int = 64) -> Iterator:
     """Runs the upstream iterator in a daemon thread; overlaps host
-    preprocessing with device steps."""
+    preprocessing with device steps.  Abandoning the generator (e.g.
+    the trainer breaking at train_steps) stops the worker instead of
+    leaving it blocked on a full queue."""
     q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
     _END = object()
     err: List[BaseException] = []
+    stop = threading.Event()
 
     def worker():
         try:
             for x in it:
-                q.put(x)
+                while not stop.is_set():
+                    try:
+                        q.put(x, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # propagate into consumer
             err.append(e)
         finally:
-            q.put(_END)
+            try:
+                q.put_nowait(_END)
+            except queue.Full:
+                pass
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        x = q.get()
-        if x is _END:
-            if err:
-                raise err[0]
-            return
-        yield x
+    try:
+        while True:
+            x = q.get()
+            if x is _END:
+                if err:
+                    raise err[0]
+                return
+            yield x
+    finally:
+        stop.set()
 
 
 def batch_by_tokens_bucketed(

@@ -31,6 +31,7 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -225,6 +226,18 @@ class Trainer(BaseExperiment):
         params = jax.tree_util.tree_map(
             lambda p, s: jax.device_put(p, s), params, p_shardings)
         state = TrainState.create(params, tx)
+        # exact resume: restore the optimizer state sidecar when present
+        if state_restore is not None:
+            opt_path = state_restore["path"].replace(".npz", ".optstate")
+            if os.path.exists(opt_path):
+                with open(opt_path, "rb") as f:
+                    opt_state = serialization.from_bytes(
+                        state.opt_state, f.read())
+                state = state.replace(
+                    opt_state=jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x), opt_state),
+                    step=jnp.asarray(init_step, jnp.int32))
+                logging.info("Restored optimizer state from %s", opt_path)
         state_shardings = jax.tree_util.tree_map(
             lambda x: replicated(mesh), state)
         state_shardings = state_shardings.replace(
@@ -277,8 +290,13 @@ class Trainer(BaseExperiment):
             from neurst_tpu.training.validator import build_validator
             validator = build_validator(args).build(task, model, model_dir)
             logging.info("Inline validator: %s", args["validator.class"])
+        # bucket batch sizes must divide dp (and per-micro-batch dp
+        # when accumulating)
+        batch_args = dict(args)
+        batch_args["batch_size_multiple"] = max(
+            8, num_replicas * update_cycle)
         batch_iter_fn = task.create_batch_iterator(
-            self._custom_dataset, compat.ModeKeys.TRAIN, args,
+            self._custom_dataset, compat.ModeKeys.TRAIN, batch_args,
             num_replicas_in_sync=num_replicas,
             shard_id=jax.process_index(),
             total_shards=jax.process_count())
@@ -299,7 +317,11 @@ class Trainer(BaseExperiment):
                         host_batch = _split_microbatches(batch, update_cycle)
                         if host_batch is None:
                             continue
-                    device_batch = put_batch(mesh, host_batch)
+                    # micro-batched arrays carry [update_cycle, B, ...]:
+                    # the example axis (1) is the data-sharded one
+                    device_batch = put_batch(
+                        mesh, host_batch,
+                        batch_axis=1 if update_cycle > 1 else 0)
                     state, metrics = jit_step(state, device_batch, step_rng)
                     step += 1
                     epoch_batches += 1
@@ -377,14 +399,31 @@ def _lead_dim(batch):
     return 1
 
 
+_SPLIT_DROPPED = {"count": 0}
+
+
 def _split_microbatches(batch, update_cycle):
-    """[B, ...] -> [update_cycle, B//update_cycle, ...] per leaf."""
+    """[B, ...] -> [update_cycle, B//update_cycle, ...] per leaf.
+
+    0-d fields (e.g. waitk_lagging) broadcast across micro-steps.
+    Returns None (and counts it, loudly every 100 drops) when the batch
+    dim does not divide update_cycle."""
     out = {}
     for k, v in batch.items():
         if not hasattr(v, "shape") or v.dtype == object:
             continue
+        if v.ndim == 0:
+            out[k] = np.broadcast_to(v, (update_cycle,))
+            continue
         b = v.shape[0]
         if b % update_cycle != 0:
+            _SPLIT_DROPPED["count"] += 1
+            if _SPLIT_DROPPED["count"] % 100 == 1:
+                logging.warning(
+                    "Dropped %d batches whose batch dim %% update_cycle "
+                    "!= 0 (latest: %s %% %d); align bucket batch sizes "
+                    "with update_cycle.", _SPLIT_DROPPED["count"], b,
+                    update_cycle)
             return None
         out[k] = v.reshape((update_cycle, b // update_cycle) + v.shape[1:])
     return out

@@ -141,7 +141,8 @@ class MultiHeadSelfAttention(MultiHeadAttention):
         qkv = self.qkv_transform(query)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if cache is None and flash_lengths is not None \
-                and not (is_training and self.attention_dropout_rate > 0):
+                and not is_training:
+            # inference only: the pallas kernel defines no AD rule
             from neurst_tpu.ops.flash_attention import flash_attention
             out = flash_attention(q, k, v, lengths=flash_lengths,
                                   causal=flash_causal)

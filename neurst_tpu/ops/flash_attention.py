@@ -21,9 +21,8 @@ make the naive [B, N, T, T] logits tensor the HBM bottleneck,
 SURVEY.md §7).
 
 Supports sequence masking via per-example key lengths and causal
-masking.  Backward (training) falls back to the XLA einsum path via
-custom_vjp residual recompute; the kernel targets the inference/encode
-path where no grads flow.
+masking.  Inference-only: the kernel defines no AD rule, and callers
+gate it off during training (see MultiHeadSelfAttention).
 """
 
 import functools

@@ -34,18 +34,24 @@ def local_device_count() -> int:
     return jax.local_device_count()
 
 
-def put_batch(mesh, batch: dict) -> dict:
-    """Places a (process-local) numpy batch onto the mesh, sharding the
-    leading axis over "data".  Works on one process (device_put) and on
-    multi-host meshes (make_array_from_process_local_data)."""
+def put_batch(mesh, batch: dict, batch_axis: int = 0) -> dict:
+    """Places a (process-local) numpy batch onto the mesh, sharding
+    axis `batch_axis` over "data" (axis 1 for micro-batched arrays
+    shaped [update_cycle, B, ...]).  Works on one process (device_put)
+    and on multi-host meshes (make_array_from_process_local_data)."""
+    from jax.sharding import NamedSharding, PartitionSpec
     from neurst_tpu.parallel.mesh import replicated
-    sharding = batch_sharding(mesh)
     repl = replicated(mesh)
     out = {}
     for k, v in batch.items():
         if not isinstance(v, np.ndarray) or v.dtype == object:
             continue  # host-only fields (raw strings etc.)
-        s = repl if v.ndim == 0 else sharding
+        if v.ndim <= batch_axis:
+            s = repl
+        else:
+            spec = [None] * v.ndim
+            spec[batch_axis] = "data"
+            s = NamedSharding(mesh, PartitionSpec(*spec))
         if jax.process_count() == 1:
             out[k] = jax.device_put(v, s)
         else:

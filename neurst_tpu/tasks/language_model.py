@@ -154,7 +154,9 @@ class LanguageModel(Task):
                         it, batch_size, {"feature": bounds},
                         {"feature": pad},
                         lambda ex: {"feature": len(ex["feature"])},
-                        batch_size_multiple=max(8, num_replicas_in_sync))
+                        batch_size_multiple=(
+                            args.get("batch_size_multiple")
+                            or max(8, num_replicas_in_sync)))
                 else:
                     batches = dataset_utils.batch_fixed_size(
                         it, batch_size, {"feature": pad},

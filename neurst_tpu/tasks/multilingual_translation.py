@@ -213,7 +213,9 @@ class MultilingualTranslation(Task):
                         {"feature": pad, "label": pad},
                         lambda ex: {"feature": len(ex["feature"]),
                                     "label": len(ex["label"])},
-                        batch_size_multiple=max(8, num_replicas_in_sync),
+                        batch_size_multiple=(
+                            args.get("batch_size_multiple")
+                            or max(8, num_replicas_in_sync)),
                         extra_fields=lang_fields)
                 else:
                     batches = dataset_utils.batch_fixed_size(

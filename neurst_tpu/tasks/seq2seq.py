@@ -221,7 +221,9 @@ class Seq2Seq(Task):
                         {"feature": src_pad, "label": trg_pad},
                         lambda ex: {"feature": len(ex["feature"]),
                                     "label": len(ex["label"])},
-                        batch_size_multiple=max(8, num_replicas_in_sync))
+                        batch_size_multiple=(
+                            args.get("batch_size_multiple")
+                            or max(8, num_replicas_in_sync)))
                 else:
                     batches = dataset_utils.batch_fixed_size(
                         it, batch_size,

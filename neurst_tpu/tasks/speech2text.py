@@ -286,12 +286,15 @@ class SpeechToText(Task):
             f"batch size per replica ({bs_per_replica}) must exceed "
             f"max_src_len={max_src_len} (token-style budget, parity: "
             f"speech2text.py:302-305)")
+        multiple = int(args.get("batch_size_multiple")
+                       or max(8, num_replicas))
         if args.get("disable_batch_efficiency"):
-            bucket_sizes = [int(bs_per_replica // b) * max(num_replicas, 1)
-                            for b in bounds]
-        else:
-            bucket_sizes = [round_up(int(bs_per_replica // b), 8)
+            bucket_sizes = [max(int(bs_per_replica // b), 1)
                             * max(num_replicas, 1) for b in bounds]
+        else:
+            bucket_sizes = [max(round_up(int(bs_per_replica // b), 8), 8)
+                            * max(num_replicas, 1) for b in bounds]
+        bucket_sizes = [round_up(b, multiple) for b in bucket_sizes]
         ratio = args.get("experimental_frame_transcript_ratio")
         if ratio is None:
             logging.warning(
@@ -346,19 +349,27 @@ class SpeechToText(Task):
                          "sample_mask": mask}
                 return self.example_to_input(batch, ModeKeys.TRAIN)
 
+            dropped = 0
             for ex in dataset_utils.prefetch_iterator(it):
                 if "transcript" not in ex:
                     continue
                 al, tl = ex["audio_length"], len(ex["transcript"])
-                if al > bounds[-1]:
-                    continue
                 placed = False
-                for i, b in enumerate(bounds):
-                    if al <= b and tl <= shapes[i][2][-1]:
-                        buckets[i].append(ex)
-                        placed = True
-                        break
+                if al <= bounds[-1]:
+                    for i, b in enumerate(bounds):
+                        if al <= b and tl <= shapes[i][2][-1]:
+                            buckets[i].append(ex)
+                            placed = True
+                            break
                 if not placed:
+                    dropped += 1
+                    if dropped % 1000 == 1:
+                        logging.warning(
+                            "speech2text: dropped %d unbucketable "
+                            "examples so far (frames=%d transcript=%d; "
+                            "check experimental_frame_transcript_ratio "
+                            "/ max_src_len / max_trg_len)", dropped, al,
+                            tl)
                     continue
                 for i in range(len(bounds)):
                     if len(buckets[i]) >= bucket_sizes[i]:

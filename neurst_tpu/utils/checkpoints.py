@@ -209,16 +209,7 @@ def restore_into(params, flat: Dict[str, np.ndarray],
             raise ValueError(f"Missing parameters in checkpoint: {missing}")
     logging.info("Restored %d/%d parameters", len(restored),
                  len(target_flat))
-    import jax
-    treedef = jax.tree_util.tree_structure(params)
-    new_params = unflatten_params(out_flat)
-    # preserve the original leaf types (jnp arrays)
-    leaves_new = [x for _, x in sorted(flatten_params(new_params).items())]
-    leaves_order = sorted(target_flat.keys())
-    mapping = dict(zip(leaves_order, leaves_new))
-    restored_tree = unflatten_params(mapping)
-    del treedef
-    return restored_tree, restored, missing
+    return unflatten_params(out_flat), restored, missing
 
 
 def average_checkpoints(paths: List[str]) -> Dict[str, np.ndarray]:
@@ -306,8 +297,8 @@ class KeepBestCheckpointSaver(object):
 
 
 class AverageCheckpointSaver(object):
-    """Maintains a sliding window of weights and saves their mean
-    (parity: checkpoints.py:239-312)."""
+    """Maintains a sliding window of weights; writes their mean only
+    when the metric improves (parity: checkpoints.py:239-312)."""
 
     def __init__(self, model_dir: str, metric, max_to_keep: int = 8,
                  subdir: str = "best_avg"):
@@ -316,6 +307,7 @@ class AverageCheckpointSaver(object):
         self._metric = metric
         self._max_to_keep = max_to_keep
         self._window: Dict[int, Dict[str, np.ndarray]] = {}
+        self._best: Optional[float] = None
 
     def save(self, step: int, params, metric_value: float) -> bool:
         flat = {k: np.asarray(v) for k, v in flatten_params(params).items()}
@@ -323,6 +315,10 @@ class AverageCheckpointSaver(object):
         if len(self._window) > self._max_to_keep:
             oldest = min(self._window)
             del self._window[oldest]
+        if self._best is not None and not self._metric.greater_or_eq(
+                metric_value, self._best):
+            return False
+        self._best = metric_value
         avg = {}
         for k in flat:
             avg[k] = np.mean([w[k] for w in self._window.values()],
