@@ -228,44 +228,37 @@ class SpeechToText(Task):
         def make_iter():
             it = ds.build_iterator(map_func=preprocess, shard_id=shard_id,
                                    total_shards=total_shards)()
-            buf = []
 
-            def emit():
-                n = len(buf)
-                frames = round_up(max(ex["audio_length"] for ex in buf), 64)
-                audio = np.zeros([batch_size, frames, feat_elems],
-                                 np.float32)
-                lens = np.zeros([batch_size], np.int32)
-                batch = {"audio": audio, "audio_length": lens}
-                has_trg = "transcript" in buf[0]
-                if has_trg:
-                    tlen_max = round_up(
-                        max(len(ex["transcript"]) for ex in buf), 8)
-                    trans = np.full([batch_size, tlen_max], trg_pad,
-                                    np.int32)
-                    tlens = np.zeros([batch_size], np.int32)
-                for j, ex in enumerate(buf):
-                    audio[j, :ex["audio_length"]] = ex["audio"]
-                    lens[j] = ex["audio_length"]
-                    if has_trg:
-                        ids = ex["transcript"]
-                        trans[j, :len(ids)] = ids
-                        tlens[j] = len(ids)
-                if has_trg:
-                    batch["transcript"] = trans
-                    batch["transcript_length"] = tlens
-                mask = np.zeros([batch_size], np.float32)
-                mask[:n] = 1.0
-                batch["sample_mask"] = mask
-                buf.clear()
-                return self.example_to_input(batch, mode)
+            def to_flat(ex):
+                # audio padding happens on the flattened feature axis so
+                # the generic batcher can treat it as one sequence field
+                out = {"audio": ex["audio"].reshape(-1),
+                       "audio_frames": ex["audio_length"]}
+                if "transcript" in ex:
+                    out["transcript"] = ex["transcript"]
+                return out
 
-            for ex in it:
-                buf.append(ex)
-                if len(buf) >= batch_size:
-                    yield emit()
-            if buf:
-                yield emit()
+            fields = ["audio"] + (
+                [] if mode == ModeKeys.INFER else ["transcript"])
+            batches = dataset_utils.batch_fixed_size(
+                (to_flat(ex) for ex in it), batch_size,
+                {"audio": 0, "transcript": trg_pad},
+                fields=fields,
+                pad_length_multiple=64 * feat_elems,
+                extra_fields=("audio_frames",))
+            for b in batches:
+                frames = b["audio"].shape[1] // feat_elems
+                audio = b["audio"].astype(np.float32).reshape(
+                    batch_size, frames, feat_elems)
+                lens = np.asarray(
+                    [0 if x is None else int(x)
+                     for x in b["audio_frames"]], np.int32)
+                batch = {"audio": audio, "audio_length": lens,
+                         "sample_mask": b["sample_mask"]}
+                if "transcript" in b:
+                    batch["transcript"] = b["transcript"]
+                    batch["transcript_length"] = b["transcript_length"]
+                yield self.example_to_input(batch, mode)
         return make_iter
 
     def _train_iterator(self, ds, preprocess, args, num_replicas, trg_pad,
