@@ -116,6 +116,14 @@ def parse_and_merge(argv):
     if model_dirs and ModelConfigs.exists(model_dirs[0]):
         base = ModelConfigs.load(model_dirs[0])
     merged = deep_merge_dict(deep_merge_dict(base, hparams), cfg_files)
+    # entries also read their flags from the top level (reference
+    # recipes mix both styles): seed entry.params with the top-level
+    # config so the recursive default-filling never overrides user
+    # values set there
+    top_level = {k: v for k, v in merged.items()
+                 if k not in ("entry", "entry.class", "entry.params")}
+    merged["entry.params"] = deep_merge_dict(
+        top_level, merged.get("entry.params") or {}, local_overwrite=False)
     args = flags_core.parse_flags(FLAG_LIST, argv, existing=merged)
     return args
 
@@ -139,7 +147,9 @@ def run_experiment(args):
     if args.get("model.class"):
         model_params = dict(args.get("model.params") or {})
         if args.get("dtype"):
-            model_params.setdefault("dtype", args["dtype"])
+            # explicit top-level dtype (CLI or config) wins over the
+            # model flag's default
+            model_params["dtype"] = args["dtype"]
         model = task.build_model({"model.class": args["model.class"],
                                   "model.params": model_params})
     entry_args = deep_merge_dict(dict(args), args.get("entry.params") or {})

@@ -109,8 +109,10 @@ class RawAudioDataset(Dataset):
                     if not member.isfile():
                         continue
                     key = os.path.basename(member.name)
-                    meta = transcripts.get(member.name) \
-                        or transcripts.get(key)
+                    stem = os.path.splitext(key)[0]
+                    meta = (transcripts.get(member.name)
+                            or transcripts.get(key)
+                            or transcripts.get(stem))
                     if meta is None:
                         continue
                     if total_shards > 1 and idx % total_shards != shard_id:
@@ -149,17 +151,26 @@ class AugmentedLibriSpeech(RawAudioDataset):
     simpler layout of paired ``.txt``/``.fr`` files.
     """
 
+    _AUDIO_EXTS = (".wav", ".flac", ".mp3", ".sph")
+
     def load_transcripts(self):
         out = {}
-        # look for TSV-ish metadata members
+        # TSV layouts: (wav, transcript[, translation]) or
+        # (id, wav, transcript[, translation])
         for name, data in self._read_members(".tsv").items():
             for line in data.decode("utf-8").splitlines():
-                parts = line.split("\t")
-                if len(parts) >= 3:
-                    entry = {"transcript": parts[1].strip()}
-                    if len(parts) >= 3 and parts[2].strip():
-                        entry["translation"] = parts[2].strip()
-                    out[parts[0].strip()] = entry
+                parts = [p.strip() for p in line.split("\t")]
+                if len(parts) < 2:
+                    continue
+                if len(parts) >= 3 and parts[1].lower().endswith(
+                        self._AUDIO_EXTS):
+                    wav, rest = parts[1], parts[2:]   # id-first layout
+                else:
+                    wav, rest = parts[0], parts[1:]
+                entry = {"transcript": rest[0]}
+                if len(rest) >= 2 and rest[1]:
+                    entry["translation"] = rest[1]
+                out[os.path.splitext(os.path.basename(wav))[0]] = entry
         return out
 
 
@@ -245,8 +256,10 @@ class MuSTC(RawAudioDataset):
                     if not member.isfile():
                         continue
                     key = os.path.basename(member.name)
-                    seg_ids = wav_to_segments.get(key) \
-                        or wav_to_segments.get(member.name)
+                    seg_ids = (wav_to_segments.get(key)
+                               or wav_to_segments.get(member.name)
+                               or wav_to_segments.get(
+                                   os.path.splitext(key)[0]))
                     if not seg_ids:
                         continue
                     data = tar.extractfile(member).read()
@@ -301,8 +314,11 @@ class CommonVoice(RawAudioDataset):
             for line in lines[1:]:
                 parts = line.split("\t")
                 if len(parts) > max(path_col, sent_col):
-                    out[parts[path_col]] = {
-                        "transcript": parts[sent_col].strip()}
+                    # key by the extensionless stem so wav-converted
+                    # archives still match the .mp3 index entries
+                    stem = os.path.splitext(
+                        os.path.basename(parts[path_col]))[0]
+                    out[stem] = {"transcript": parts[sent_col].strip()}
         return out
 
 
@@ -343,9 +359,10 @@ class TedLium(RawAudioDataset):
                     if os.path.splitext(key)[1].lower() not in \
                             (".wav", ".sph", ".flac"):
                         continue  # transcript/metadata members
-                    seg_ids = wav_to_segments.get(key) \
-                        or wav_to_segments.get(
-                            os.path.splitext(key)[0] + ".wav")
+                    stem = os.path.splitext(key)[0]
+                    seg_ids = (wav_to_segments.get(key)
+                               or wav_to_segments.get(stem + ".wav")
+                               or wav_to_segments.get(stem))
                     if not seg_ids:
                         continue
                     data = tar.extractfile(member).read()
@@ -389,7 +406,8 @@ class GigaSpeech(RawAudioDataset):
         for name, data in members.items():
             meta = _json.loads(data.decode("utf-8"))
             for audio in meta.get("audios", []):
-                path = os.path.basename(audio.get("path", ""))
+                path = os.path.splitext(
+                    os.path.basename(audio.get("path", "")))[0]
                 for seg in audio.get("segments", []):
                     self._segments.append({
                         "wav": path,
@@ -447,8 +465,10 @@ class IWSLTAudio(RawAudioDataset):
                     if not member.isfile():
                         continue
                     key = os.path.basename(member.name)
-                    seg_ids = wav_to_segments.get(key) \
-                        or wav_to_segments.get(member.name)
+                    seg_ids = (wav_to_segments.get(key)
+                               or wav_to_segments.get(member.name)
+                               or wav_to_segments.get(
+                                   os.path.splitext(key)[0]))
                     if not seg_ids:
                         continue
                     data = tar.extractfile(member).read()

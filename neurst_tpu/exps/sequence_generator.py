@@ -67,9 +67,33 @@ class SequenceGenerator(BaseExperiment):
         return params
 
     def build_generation_fn(self, params):
-        """Returns fn(model_inputs) -> (hypotheses ids, scores)."""
+        """Returns fn(model_inputs) -> (hypotheses ids, scores).
+
+        Sampling searches receive a fresh per-batch rng (folded from a
+        traced counter) so corpus decodes are not correlated batch to
+        batch."""
         search = build_search_layer(self._args)
         search.set_model(self._model)
+        import inspect
+        takes_rng = "rng" in inspect.signature(
+            search.__call__).parameters
+        if takes_rng:
+            base = jax.random.PRNGKey(
+                int(self._args.get("seed") or 0) + 7)
+            jit_search = jax.jit(
+                lambda p, inp, i: search(
+                    p, inp, rng=jax.random.fold_in(base, i)))
+            counter = [0]
+
+            def fn(inp):
+                counter[0] += 1
+                return jit_search(params, inp,
+                                  jnp_asarray(counter[0]))
+            import jax.numpy as _jnp
+
+            def jnp_asarray(x):
+                return _jnp.asarray(x, _jnp.int32)
+            return fn
         jit_search = jax.jit(lambda p, inp: search(p, inp))
         return lambda inp: jit_search(params, inp)
 
@@ -97,7 +121,9 @@ class SequenceGenerator(BaseExperiment):
                 logging.info("Restored ensemble member from %s", path)
             models.append(model)
             params_list.append(params)
-        weights = self._args.get("ensemble_weights")
+        weights = (self._args.get("ensemble_weights")
+                   or (self._args.get("search_method.params")
+                       or {}).get("ensemble_weights"))
         if isinstance(weights, str):
             weights = [float(x) for x in weights.split(",")]
         return EncoderDecoderEnsembleModel(models, params_list, weights)
@@ -111,12 +137,16 @@ class SequenceGenerator(BaseExperiment):
             all_results = {}
             weighted = {}
             base_output = self._args.get("output_file")
+            base_metric = self._args.get("save_metric")
             for name, sub in sorted(
                     self._custom_dataset.datasets.items()):
                 logging.info("===== decoding dataset '%s' =====", name)
                 sub_exp = SequenceGenerator(
-                    dict(self._args, output_file=(
-                        f"{base_output}.{name}" if base_output else None)),
+                    dict(self._args,
+                         output_file=(f"{base_output}.{name}"
+                                      if base_output else None),
+                         save_metric=(f"{base_metric}.{name}"
+                                      if base_metric else None)),
                     task=self._task, model=self._model,
                     custom_dataset=sub, model_dir=self._model_dir)
                 res = sub_exp.run()
@@ -126,6 +156,14 @@ class SequenceGenerator(BaseExperiment):
                     if isinstance(v, (int, float)) and k != "samples":
                         weighted[k] = weighted.get(k, 0.0) + w * v
             logging.info("Weighted mixture metrics: %s", weighted)
+            if base_metric:
+                import json
+                with open(base_metric, "w") as f:
+                    json.dump({"datasets": {
+                        k: {m: v for m, v in r.items()
+                            if isinstance(v, (int, float))}
+                        for k, r in all_results.items()},
+                        "weighted": weighted}, f, indent=2)
             return {"datasets": all_results, "weighted": weighted}
         task = self._task
         args = self._args

@@ -240,14 +240,17 @@ def _parse_module_flag(mf: ModuleFlag, argv_dict, consumed, result: dict):
     raw_cls = _lookup_argv(argv_dict, consumed, mf.name, mf.cls_key)
     cls_name = raw_cls if raw_cls is not None else result.get(
         mf.cls_key, result.get(mf.name))
+    existing_params = dict(result.get(mf.params_key) or {})
+    # a full {class:..., params:...} dict under the short name (YAML):
+    # its params survive even when the CLI re-states the class
+    short = result.get(mf.name)
+    if isinstance(short, dict):
+        existing_params = _deep_merge(
+            existing_params, short.get("params") or {})
+        if cls_name is raw_cls is None or isinstance(cls_name, dict):
+            cls_name = short.get("class")
     if isinstance(cls_name, dict):
-        # a full {class:..., params:...} dict passed via YAML under the short name
-        sub = cls_name
-        cls_name = sub.get("class")
-        params = sub.get("params") or {}
-        existing_params = _deep_merge(result.get(mf.params_key) or {}, params)
-    else:
-        existing_params = dict(result.get(mf.params_key) or {})
+        cls_name = cls_name.get("class")
     if cls_name is None:
         cls_name = mf.default
     result.pop(mf.name, None)

@@ -95,6 +95,8 @@ class SimulTransTextAgent(object):
         while len(out_ids) < self._max_decode_len:
             action = self.policy(n_read, len(out_ids),
                                  n_read >= src_len, False)
+            if cache is None:
+                action = READ  # must encode something before writing
             if action == READ:
                 n_read += 1
                 # re-encode padded prefix (bounded shape set)
