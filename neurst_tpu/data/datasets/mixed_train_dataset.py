@@ -91,14 +91,22 @@ class MixedTrainDataset(Dataset):
             except Exception:
                 sizes[name] = 1
         ratios = self._sampler.normalized_ratios(sizes)
+        unknown = set(ratios) - set(self._datasets)
+        if unknown:
+            raise ValueError(
+                f"data_sampler ratios name unknown sub-datasets {unknown}; "
+                f"known: {sorted(self._datasets)}")
         names = sorted(ratios.keys())
         weights = [ratios[n] for n in names]
 
         def gen():
             rng = random.Random(self._seed + shard_id)
             iters = {}
+            empty = set()
             while True:
                 name = rng.choices(names, weights=weights, k=1)[0]
+                if name in empty:
+                    continue
                 if name not in iters:
                     iters[name] = self._datasets[name].build_iterator(
                         shard_id=shard_id, total_shards=total_shards)()
@@ -110,7 +118,12 @@ class MixedTrainDataset(Dataset):
                     try:
                         example = next(iters[name])
                     except StopIteration:
-                        continue  # empty sub-dataset
+                        empty.add(name)
+                        if len(empty) == len(names):
+                            raise RuntimeError(
+                                "All sub-datasets of MixedTrainDataset are "
+                                f"empty: {sorted(names)}")
+                        continue
                 example = dict(example)
                 example.setdefault("dataset_key", name)
                 if map_func is not None:

@@ -221,11 +221,10 @@ class SequenceGenerator(BaseExperiment):
         targets = getattr(self._custom_dataset, "raw_targets", None) \
             or getattr(self._custom_dataset, "targets", None)
         if targets:
-            targets = list(targets)[:len(hypotheses)]
-            # recover raw text refs when the dataset stores processed ids
-            post = task.get_data_postprocess_fn(self._custom_dataset.status)
-            targets = [post(t) if not isinstance(t, str) else t
-                       for t in targets]
+            # recover raw text refs (PROCESSED strings need detok too)
+            from neurst_tpu.training.validator import recover_targets
+            targets = recover_targets(task, self._custom_dataset,
+                                      list(targets)[:len(hypotheses)])
             metric = task.get_eval_metric(args)
             metric_result = metric(hypotheses, targets)
             logging.info("Evaluation result: %s", metric_result)

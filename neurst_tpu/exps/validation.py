@@ -72,19 +72,24 @@ class Validation(BaseExperiment):
             idle_since = time.time()
             for step in sorted(steps):
                 seen.add(step)
-                path = None
+                import os
+                path = os.path.join(self._model_dir, f"ckpt-{step}.npz")
+                flat = None
                 for attempt in range(5):  # retry slow writers (parity)
                     try:
-                        import os
-                        path = os.path.join(self._model_dir,
-                                            f"ckpt-{step}.npz")
                         flat = ckpt_lib.restore_checkpoint_params(path)
+                        break
+                    except FileNotFoundError:
+                        # rotated away by the trainer's max_to_keep —
+                        # waiting won't bring it back
+                        logging.info("checkpoint %s already rotated away; "
+                                     "skipping.", path)
                         break
                     except Exception as e:
                         logging.warning("retry %d reading %s: %s",
                                         attempt, path, e)
                         time.sleep(5)
-                else:
+                if flat is None:
                     continue
                 params, _, _ = ckpt_lib.restore_into(params_template, flat)
                 should_stop = validator.validate(step, params)

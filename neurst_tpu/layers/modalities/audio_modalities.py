@@ -91,4 +91,9 @@ class AudioConv2dSubsampling(nn.Module):
             x = x * (self.embedding_dim ** 0.5)
             x = x + sinusoidal_position_signal(
                 t, self.embedding_dim, dtype=x.dtype)[None, :, :]
+        elif self.timing:
+            raise ValueError(
+                f"AudioConv2dSubsampling supports timing='sinusoids' or "
+                f"None, got '{self.timing}' (a position-blind encoder "
+                f"would silently degrade)")
         return x

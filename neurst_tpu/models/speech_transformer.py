@@ -161,6 +161,8 @@ class SpeechTransformer(EncoderDecoderModel):
         if name not in ("speech_transformer_toy", "speech_transformer_s",
                         "speech_transformer_m"):
             return None
+        # parity: reference speech_transformer.py:192-280 (channels 256
+        # for s and m; noam factors 3.5/5.0 with decay; warmup 25000)
         if name == "speech_transformer_toy":
             dmodel, num_heads, dropout = 16, 2, 0.1
             enc_layers, dec_layers, filter_size, channels = 2, 2, 32, 8
@@ -169,7 +171,7 @@ class SpeechTransformer(EncoderDecoderModel):
             enc_layers, dec_layers, filter_size, channels = 12, 6, 2048, 256
         else:  # speech_transformer_m
             dmodel, num_heads, dropout = 512, 8, 0.1
-            enc_layers, dec_layers, filter_size, channels = 12, 6, 2048, 512
+            enc_layers, dec_layers, filter_size, channels = 12, 6, 2048, 256
         return {
             "model.class": cls.__name__,
             "model.params": {
@@ -202,8 +204,13 @@ class SpeechTransformer(EncoderDecoderModel):
                 "epsilon": 1.e-9, "beta_1": 0.9, "beta_2": 0.98},
             "lr_schedule.class": "noam",
             "lr_schedule.params": {
-                "initial_factor": 1.0, "dmodel": dmodel,
-                "warmup_steps": 4000},
+                "initial_factor": 5.0 if dmodel > 256 else 3.5,
+                "end_factor": 2.0 if dmodel > 256 else 1.5,
+                "dmodel": dmodel,
+                "warmup_steps": 25000,
+                "start_decay_at": 50000,
+                "decay_steps": 50000,
+            },
         }
 
 

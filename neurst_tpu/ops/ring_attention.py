@@ -49,8 +49,7 @@ def _ring_kernel(q, k, v, lengths, axis_name: str, causal: bool):
 
     perm = [(i, (i + 1) % p) for i in range(p)]
 
-    def step(i, carry):
-        acc, m_prev, l_prev, k_blk, v_blk = carry
+    def combine(i, acc, m_prev, l_prev, k_blk, v_blk):
         src = (my - i) % p                                # block owner
         kv_pos = src * t_local + jnp.arange(t_local)      # global kv cols
         s = jnp.einsum("BqNH,BkNH->BNqk", q32,
@@ -69,6 +68,11 @@ def _ring_kernel(q, k, v, lengths, axis_name: str, causal: bool):
         l_new = l_prev * alpha + jnp.sum(pexp, axis=-1)
         acc = acc * alpha[..., None] + jnp.einsum(
             "BNqk,BkNH->BNqH", pexp, v_blk.astype(jnp.float32))
+        return acc, m_new, l_new
+
+    def step(i, carry):
+        acc, m_prev, l_prev, k_blk, v_blk = carry
+        acc, m_new, l_new = combine(i, acc, m_prev, l_prev, k_blk, v_blk)
         # rotate kv to the next device (ICI ring)
         k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
         v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
@@ -77,7 +81,10 @@ def _ring_kernel(q, k, v, lengths, axis_name: str, causal: bool):
     init = (jnp.zeros((b, n, t_local, h), jnp.float32),
             jnp.full((b, n, t_local), NEG_INF, jnp.float32),
             jnp.zeros((b, n, t_local), jnp.float32), k, v)
-    acc, m, l, _, _ = jax.lax.fori_loop(0, p, step, init)
+    # p-1 rotated rounds, then the last block in place — the final
+    # ppermute would only restore the original layout, pure wasted ICI.
+    acc, m, l, k_last, v_last = jax.lax.fori_loop(0, p - 1, step, init)
+    acc, m, l = combine(p - 1, acc, m, l, k_last, v_last)
     out = acc / jnp.maximum(l, 1e-20)[..., None]
     return out.transpose(0, 2, 1, 3).astype(q.dtype)      # [B, T, N, H]
 

@@ -32,8 +32,6 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-from flax import linen as nn
-
 __all__ = ["make_mesh", "LOGICAL_AXIS_RULES", "logical_to_mesh_sharding",
            "params_shardings", "batch_sharding", "replicated"]
 
@@ -107,15 +105,3 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
-
-
-def get_params_spec(model, rng=None):
-    """Partition-spec pytree for a model's parameters without
-    materializing them (eval_shape)."""
-    import jax.numpy as jnp  # noqa: F401
-
-    def _init():
-        return model.module.init(
-            {"params": jax.random.PRNGKey(0)}, **model.example_inputs())
-    shapes = jax.eval_shape(_init)
-    return nn.get_partition_spec(shapes)["params"]

@@ -24,6 +24,7 @@ import numpy as np
 from neurst_tpu.data.datasets.dataset import build_dataset
 from neurst_tpu.layers.search.sequence_search import build_search_layer
 from neurst_tpu.training.validator import (TrainingStatusRecorder, Validator,
+                                           recover_targets,
                                            register_validator)
 from neurst_tpu.utils.compat import DataStatus, ModeKeys
 from neurst_tpu.utils.flags_core import Flag, ModuleFlag
@@ -75,13 +76,20 @@ class SeqGenerationValidator(Validator):
             ds=self._dataset)
         self._batch_args = {"batch_size": a.get("eval_batch_size") or 32}
         self._display = int(a.get("eval_top_hypothesis_display") or 3)
+        keep_best = a.get("eval_keep_best_checkpoints")
+        if keep_best is None:
+            keep_best = a.get("eval_top_checkpoints_to_keep")
+        if keep_best is None:
+            keep_best = 8
         self._recorder = TrainingStatusRecorder(
             self._metric, model_dir=model_dir,
-            keep_best=(a.get("eval_keep_best_checkpoints")
-                       or a.get("eval_top_checkpoints_to_keep") or 8),
-            keep_best_avg=(8 if a.get("eval_auto_average_checkpoints",
-                                      True) else 0),
-            estop_patience=a.get("eval_estop_patience"))
+            keep_best=keep_best,
+            keep_best_avg=(keep_best
+                           if a.get("eval_auto_average_checkpoints", True)
+                           else 0),
+            estop_patience=a.get("eval_estop_patience"),
+            best_dir=a.get("eval_best_checkpoint_path"),
+            best_avg_dir=a.get("eval_best_avg_checkpoint_path"))
         return self
 
     def validate(self, step, params):
@@ -103,9 +111,14 @@ class SeqGenerationValidator(Validator):
                     continue
                 hypotheses.append(hypo_decode(hyp[i * top_k].tolist()))
         targets = (getattr(self._dataset, "raw_targets", None)
-                   or self._dataset.targets)[:len(hypotheses)]
-        post = self._task.get_data_postprocess_fn(self._dataset.status)
-        targets = [post(t) if not isinstance(t, str) else t for t in targets]
+                   or self._dataset.targets)
+        if not targets:
+            logging.warning("Validation dataset has no targets; skipping "
+                            "generation validation (parity: reference "
+                            "seq_generation_validator.py:122-131).")
+            return False
+        targets = recover_targets(self._task, self._dataset,
+                                  list(targets)[:len(hypotheses)])
         for i in range(min(self._display, len(hypotheses))):
             logging.info("  sample %d | hyp: %s | ref: %s", i,
                          hypotheses[i][:120], targets[i][:120])

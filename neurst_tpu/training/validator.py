@@ -32,7 +32,21 @@ from neurst_tpu.utils.flags_core import Flag, ModuleFlag
 from neurst_tpu.utils.registry import setup_registry
 
 __all__ = ["Validator", "build_validator", "register_validator",
-           "TrainingStatusRecorder"]
+           "TrainingStatusRecorder", "recover_targets"]
+
+
+def recover_targets(task, dataset, targets):
+    """Recovers raw reference texts from a dataset's targets regardless
+    of their DataStatus (PROCESSED strings need detokenization too)."""
+    from neurst_tpu.utils.compat import DataStatus
+    status = dataset.status
+    if isinstance(status, dict):
+        status = status.get("transcript", DataStatus.RAW)
+    post = task.get_data_postprocess_fn(dataset.status)
+    if status == DataStatus.PROCESSED:
+        return [post(t) for t in targets]
+    # PROJECTED: id lists need decode; raw strings pass through
+    return [post(t) if not isinstance(t, str) else t for t in targets]
 
 
 class TrainingStatusRecorder(object):
@@ -41,7 +55,10 @@ class TrainingStatusRecorder(object):
 
     def __init__(self, metric, model_dir: Optional[str] = None,
                  keep_best: int = 0, keep_best_avg: int = 0,
-                 estop_patience: Optional[int] = None):
+                 estop_patience: Optional[int] = None,
+                 best_dir: Optional[str] = None,
+                 best_avg_dir: Optional[str] = None):
+        import os
         self._metric = metric
         self._best = None
         self._best_step = None
@@ -49,14 +66,20 @@ class TrainingStatusRecorder(object):
         self._estop_patience = estop_patience
         self._keep_best_saver = None
         self._avg_saver = None
-        if model_dir and keep_best:
+        if (model_dir or best_dir) and keep_best:
             from neurst_tpu.utils.checkpoints import KeepBestCheckpointSaver
+            base, sub = ((os.path.dirname(best_dir) or ".",
+                          os.path.basename(best_dir))
+                         if best_dir else (model_dir, "best"))
             self._keep_best_saver = KeepBestCheckpointSaver(
-                model_dir, metric, max_to_keep=keep_best)
-        if model_dir and keep_best_avg:
+                base, metric, max_to_keep=keep_best, subdir=sub)
+        if (model_dir or best_avg_dir) and keep_best_avg:
             from neurst_tpu.utils.checkpoints import AverageCheckpointSaver
+            base, sub = ((os.path.dirname(best_avg_dir) or ".",
+                          os.path.basename(best_avg_dir))
+                         if best_avg_dir else (model_dir, "best_avg"))
             self._avg_saver = AverageCheckpointSaver(
-                model_dir, metric, max_to_keep=keep_best_avg)
+                base, metric, max_to_keep=keep_best_avg, subdir=sub)
 
     @property
     def best(self):
