@@ -22,7 +22,36 @@ import re
 
 from neurst_tpu.utils.registry import setup_registry
 
-__all__ = ["DataPipeline", "build_data_pipeline", "register_data_pipeline"]
+__all__ = ["DataPipeline", "build_data_pipeline", "register_data_pipeline",
+           "lowercase_and_remove_punctuations"]
+
+# ASR-style text cleanup (parity: reference data_pipeline.py:22-38)
+_PUNC_PATTERN = re.compile(
+    r"[,\.\!\(\);:、\?\-\+=\"/><《》\[\]，。：；「」【】{}`@#\$%\^&\*]")
+_PUNC_NORMALIZERS = {}
+
+
+def lowercase_and_remove_punctuations(language, text, lowercase=True,
+                                      remove_punctuation=True):
+    """Normalizes transcripts before tokenization: optional lowercase,
+    Moses punctuation normalization (non-CJK), apostrophe re-joining,
+    optional punctuation stripping, whitespace collapse."""
+    if lowercase:
+        text = text.lower()
+    if language not in ("zh", "ja"):
+        try:
+            if language not in _PUNC_NORMALIZERS:
+                from sacremoses import MosesPunctNormalizer
+                _PUNC_NORMALIZERS[language] = MosesPunctNormalizer(
+                    lang=language)
+            text = _PUNC_NORMALIZERS[language].normalize(text)
+        except ImportError:
+            pass  # best-effort when sacremoses is absent
+        for suf in ("s", "ve", "m", "t", "re"):
+            text = text.replace(f"' {suf} ", f"'{suf} ")
+    if remove_punctuation:
+        text = _PUNC_PATTERN.sub(" ", text)
+    return " ".join(text.strip().split())
 
 
 class DataPipeline(object):
@@ -56,13 +85,18 @@ class DataPipeline(object):
         """PROJECTED -> RAW (recovered text)."""
         raise NotImplementedError
 
-    @staticmethod
-    def text_pre_normalize(language, text, is_processed=False):
-        """Light punctuation/whitespace normalization applied before
-        tokenization (parity with the reference helper)."""
+    def text_pre_normalize(self, language, text, is_processed=False):
+        """Normalization applied before tokenization; honors the
+        pipeline's ``lowercase`` / ``remove_punctuation`` config
+        (parity: reference data_pipeline.py:85-90)."""
         if is_processed or not isinstance(text, str):
             return text
-        text = text.replace(" ", " ").replace(" ", " ")
+        cfg = getattr(self, "_config", {}) or {}
+        if cfg.get("lowercase") or cfg.get("remove_punctuation"):
+            return lowercase_and_remove_punctuations(
+                language, text, lowercase=bool(cfg.get("lowercase")),
+                remove_punctuation=bool(cfg.get("remove_punctuation")))
+        text = text.replace("\u2028", " ").replace("\u2029", " ")
         text = re.sub(r"\s+", " ", text).strip()
         return text
 

@@ -48,6 +48,13 @@ class TextDataPipeline(DataPipeline):
                  help="The subword codes / model path."),
             Flag("glossaries", dtype=Flag.TYPE.STRING, default=None,
                  multiple=True, help="Terms never split by tokenizers."),
+            Flag("lowercase", dtype=Flag.TYPE.BOOLEAN, default=False,
+                 help="Lowercase text before tokenization (ASR "
+                      "transcripts)."),
+            Flag("remove_punctuation", dtype=Flag.TYPE.BOOLEAN,
+                 default=False,
+                 help="Strip punctuation before tokenization (ASR "
+                      "transcripts)."),
             Flag("reverse_sequence", dtype=Flag.TYPE.BOOLEAN, default=False,
                  help="Whether to reverse the sequence."),
         ]
@@ -118,8 +125,8 @@ class TextDataPipeline(DataPipeline):
         }
 
     def preprocess(self, input):
-        input = DataPipeline.text_pre_normalize(self._language, input,
-                                                is_processed=False)
+        input = self.text_pre_normalize(self._language, input,
+                                        is_processed=False)
         if self._tokenizer:
             input = self._tokenizer.tokenize(input, return_str=True)
         if self._subtokenizer:

@@ -96,8 +96,8 @@ class Trainer(BaseExperiment):
                       "mirrored/horovod/byteps/tpu strategies)."),
             Flag("dtype", dtype=Flag.TYPE.STRING, default=None,
                  help="Computation dtype override for training."),
-            Flag("experimental_frozen_variables", dtype=Flag.TYPE.STRING,
-                 default=None,
+            Flag("freeze_variables", dtype=Flag.TYPE.STRING,
+                 default=None, alias="experimental_frozen_variables",
                  help="Regex of variables excluded from updates."),
             Flag("gradient_remat", dtype=Flag.TYPE.BOOLEAN, default=None,
                  help="Rematerialize the forward pass in backward "
@@ -190,11 +190,23 @@ class Trainer(BaseExperiment):
                                      args.get("nopruning_variable_pattern")))
             logging.info("Enabled magnitude pruning: %s",
                          args["pruning_schedule.class"])
-        frozen_pattern = args.get("experimental_frozen_variables")
+        frozen_pattern = (args.get("freeze_variables")
+                          or args.get("experimental_frozen_variables"))
         if frozen_pattern:
             import re as _re
             import optax as _optax
             pat = _re.compile(frozen_pattern)
+
+            n_frozen = sum(
+                1 for k in ckpt_lib.flatten_params(params)
+                if pat.search(k))
+            if n_frozen == 0:
+                logging.warning(
+                    "freeze_variables pattern '%s' matches NO variables "
+                    "— nothing will be frozen.", frozen_pattern)
+            else:
+                logging.info("freeze_variables '%s': %d variables frozen.",
+                             frozen_pattern, n_frozen)
 
             def _label(params):
                 flat = ckpt_lib.flatten_params(params)

@@ -59,8 +59,14 @@ class WER(Metric):
         return text.split()
 
     def call(self, hypothesis, groundtruth=None) -> dict:
+        # parity: reference wer.py:57-86 scores on lowercased,
+        # punctuation-stripped text on both sides
+        from neurst_tpu.data.data_pipelines.data_pipeline import \
+            lowercase_and_remove_punctuations
         total_err, total_ref = 0, 0
         for hyp, ref in zip(hypothesis, groundtruth):
+            hyp = lowercase_and_remove_punctuations(self._language, hyp)
+            ref = lowercase_and_remove_punctuations(self._language, ref)
             h = self._tokens(hyp)
             r = self._tokens(ref)
             total_err += edit_distance(h, r)

@@ -148,3 +148,36 @@ def test_shuffle_and_prefetch():
         dataset_utils.shuffle_iterator(iter(data), 10, seed=3)))
     assert sorted(out) == data
     assert out != data
+
+
+def test_lowercase_and_remove_punctuations():
+    from neurst_tpu.data.data_pipelines.data_pipeline import \
+        lowercase_and_remove_punctuations as norm
+    assert norm("en", "Hello, World!") == "hello world"
+    assert norm("en", "Hello, World!", lowercase=False) == "Hello World"
+    # apostrophe re-joining after Moses punct normalization
+    assert "don't" in norm("en", "DON'T stop", remove_punctuation=False)
+    # CJK: no Moses normalization, punctuation still stripped
+    assert norm("zh", "你好，世界。") == "你好 世界"
+
+
+def test_text_pipeline_transcript_cleanup(tmp_path):
+    from neurst_tpu.data.data_pipelines.text_data_pipeline import \
+        TextDataPipeline
+    vocab = tmp_path / "v.txt"
+    vocab.write_text("hello\nworld\n")
+    p = TextDataPipeline(vocab_path=str(vocab), language="en",
+                         lowercase=True, remove_punctuation=True)
+    assert p.preprocess("Hello, WORLD!") == "hello world"
+    # defaults leave case/punctuation alone
+    p2 = TextDataPipeline(vocab_path=str(vocab), language="en")
+    assert p2.preprocess("Hello, WORLD!") == "Hello, WORLD!"
+
+
+def test_wer_normalizes_case_and_punctuation():
+    from neurst_tpu.metrics.wer import WER
+    m = WER()
+    res = m(["Hello, world!"], ["hello world"])
+    assert res["WER"] == 0.0
+    res = m(["hello there world"], ["Hello, world."])
+    assert res["WER"] == 50.0  # one insertion over two ref words
