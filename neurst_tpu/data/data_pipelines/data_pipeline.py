@@ -57,6 +57,10 @@ def lowercase_and_remove_punctuations(language, text, lowercase=True,
 class DataPipeline(object):
     """Converts one raw data sample to projected features and back."""
 
+    # pipelines legitimately accept ad-hoc constructor kwargs (bos_id,
+    # pad_id, ...) beyond their declared flags
+    ALLOW_UNDECLARED_PARAMS = True
+
     def __init__(self, **kwargs):
         self._config = dict(kwargs)
 

@@ -28,6 +28,9 @@ __all__ = ["BaseExperiment", "build_exp", "register_exp"]
 
 class BaseExperiment(object):
 
+    # entries receive the full merged config namespace by design
+    ALLOW_UNDECLARED_PARAMS = True
+
     def __init__(self, args=None, task=None, model=None,
                  custom_dataset=None, model_dir: Optional[str] = None):
         self._args = dict(args or {})

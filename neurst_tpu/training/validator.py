@@ -120,6 +120,9 @@ class Validator(object):
     """Base validator: evaluate every eval_steps from eval_start_at
     (parity: validator.py:24-62)."""
 
+    # built from the trainer's full args namespace by design
+    ALLOW_UNDECLARED_PARAMS = True
+
     def __init__(self, args=None):
         self._args = dict(args or {})
         self._eval_steps = int(self._args.get("eval_steps") or 1000)

@@ -185,11 +185,31 @@ def setup_registry(registry_name: str,
         # fill defaults declared by the class's own flags
         params = dict(params)
         if hasattr(cls, "class_or_method_args"):
+            declared = set()
             for f in cls.class_or_method_args():
                 fname = getattr(f, "name", None)
-                if fname is not None and fname not in params \
-                        and not _is_module_flag(f):
+                if fname is None:
+                    continue
+                if _is_module_flag(f):
+                    declared.update((fname, f"{fname}.class",
+                                     f"{fname}.params"))
+                    continue
+                declared.add(fname)
+                alias = getattr(f, "alias", None)
+                if alias:
+                    declared.add(alias)
+                if fname not in params:
                     params[fname] = f.default
+            # a typo'd param key would otherwise be dropped silently
+            # (e.g. max_decode_length vs maximum_decode_length)
+            if not getattr(cls, "ALLOW_UNDECLARED_PARAMS", False):
+                unknown = [k for k in params if k not in declared]
+                if unknown:
+                    import logging
+                    logging.warning(
+                        "%s '%s' does not declare params %s — they may "
+                        "be ignored. Declared: %s", registry_name,
+                        cls.__name__, sorted(unknown), sorted(declared))
         if verbose:
             import logging
             logging.info("Building %s: %s with params %s",
