@@ -34,6 +34,18 @@ def main(argv=None):
             print(f"  {name}  ({len(set(REGISTRIES[name].values()))} classes)")
         return
     registry_name = argv[0]
+    if registry_name in ("hparams_set", "hparams_sets"):
+        from neurst_tpu.utils.hparams_sets import (_HPARAMS_SETS,
+                                                   get_hyper_parameters)
+        if len(argv) > 1:
+            import yaml
+            print(yaml.dump(get_hyper_parameters(argv[1])))
+            return
+        print("Registered hparams sets (parametric names like "
+              "transformer_<d>_<e>e_<d>d resolve dynamically):")
+        for name in sorted(_HPARAMS_SETS):
+            print(f"  {name}")
+        return
     if registry_name not in REGISTRIES:
         print(f"Unknown registry '{registry_name}'. "
               f"Available: {registry_names()}")

@@ -113,3 +113,64 @@ class CtnmtTransformer(Transformer):
             "max_positions": a.get("bert.max_positions") or 512,
         }
         return kw
+
+    @classmethod
+    def build_model_args_by_name(cls, name):
+        """Named hparams families (parity: reference
+        ctnmt_transformer.py:245-328; the reference's bert_config names
+        map to bert.* dims here: base=12L/768/12h, large=24L/1024/16h).
+        """
+        # (dmodel, heads, enc, dec, filter, dropout, bert dims)
+        families = {
+            "ctnmt_toy": (8, 2, 2, 2, 10, 0.1, (2, 8, 2, 32)),
+            "ctnmt_base": (768, 12, 12, 12, 3072, 0.2,
+                           (12, 768, 12, 3072)),
+            "ctnmt_big": (1024, 16, 12, 12, 4096, 0.3,
+                          (24, 1024, 16, 4096)),
+            "ctnmt_big_dp01": (1024, 16, 12, 12, 4096, 0.1,
+                               (24, 1024, 16, 4096)),
+        }
+        if name not in families:
+            return None
+        (dmodel, heads, enc, dec, filt, dp,
+         (b_l, b_d, b_h, b_f)) = families[name]
+        params = {
+            "bert_mode": "dynamic_switch",
+            "modality.share_source_target_embedding": False,
+            "modality.share_embedding_and_softmax_weights": True,
+            "modality.dim": dmodel,
+            "modality.timing": "sinusoids",
+            "bert.num_layers": b_l,
+            "bert.hidden_size": b_d,
+            "bert.num_attention_heads": b_h,
+            "bert.filter_size": b_f,
+        }
+        for side, n in (("encoder", enc), ("decoder", dec)):
+            params.update({
+                f"{side}.num_layers": n,
+                f"{side}.hidden_size": dmodel,
+                f"{side}.num_attention_heads": heads,
+                f"{side}.filter_size": filt,
+                f"{side}.attention_dropout_rate": dp,
+                f"{side}.ffn_activation": "relu",
+                f"{side}.ffn_dropout_rate": dp,
+                f"{side}.layer_postprocess_dropout_rate": dp,
+            })
+        return {
+            "model.class": cls.__name__,
+            "model.params": params,
+            "optimizer.class": "adam",
+            "optimizer.params": {
+                "epsilon": 1.e-9, "beta_1": 0.9, "beta_2": 0.98},
+            "lr_schedule.class": "noam",
+            "lr_schedule.params": {
+                "initial_factor": 1.0, "dmodel": dmodel,
+                "warmup_steps": 4000},
+        }
+
+
+from neurst_tpu.utils.hparams_sets import register_hparams_set  # noqa: E402
+
+for _name in ("ctnmt_toy", "ctnmt_base", "ctnmt_big", "ctnmt_big_dp01"):
+    register_hparams_set(_name)(
+        lambda _n=_name: CtnmtTransformer.build_model_args_by_name(_n))
