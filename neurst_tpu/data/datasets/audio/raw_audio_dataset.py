@@ -386,6 +386,8 @@ class TedLium(RawAudioDataset):
                             ex = {"audio": clip.astype(np.float32),
                                   "audio_length": len(clip)}
                         ex["transcript"] = seg["transcript"]
+                        if "translation" in seg:
+                            ex["translation"] = seg["translation"]
                         if map_func is not None:
                             ex = map_func(ex)
                         if ex is not None:
@@ -396,24 +398,87 @@ class TedLium(RawAudioDataset):
 @register_dataset("gigaspeech", "GigaSpeech")
 class GigaSpeech(RawAudioDataset):
     """GigaSpeech (parity: audio/gigaspeech.py): a JSON index with
-    per-segment (begin_time, end_time, text_tn) into long opus/wav."""
+    per-segment (begin_time, end_time, text_tn) into long opus/wav.
+    Filters to the chosen ``subset`` tag at both the audio and segment
+    level, maps punctuation tags to symbols, drops garbage-only
+    segments, and optionally merges GigaST translations by segment id
+    (``extra_translation_json``, parity:
+    examples/speech_transformer/gigast/convert_data.py)."""
+
+    SUBSET_CHOICES = ("XS", "S", "M", "L", "XL",
+                      "DEV", "TEST")
+    _TAG_MAP = (("<QUESTIONMARK>", "?"), ("<EXCLAMATIONPOINT>", "!"),
+                ("<PERIOD>", "."), ("<COMMA>", ","))
+    _GARBAGE = ("<SIL>", "<NOISE>", "<MUSIC>", "<OTHER>")
+
+    @staticmethod
+    def class_or_method_args():
+        return RawAudioDataset.class_or_method_args() + [
+            Flag("subset", dtype=Flag.TYPE.STRING, default="XL",
+                 choices=list(GigaSpeech.SUBSET_CHOICES),
+                 help="The GigaSpeech subset tag to keep."),
+            Flag("extra_translation_json", dtype=Flag.TYPE.STRING,
+                 default=None,
+                 help="GigaST json whose per-sid translations are "
+                      "merged into the segments."),
+        ]
+
+    def _load_translations(self):
+        path = self._args.get("extra_translation_json")
+        if not path:
+            return {}
+        import json as _json
+        with open(path, encoding="utf-8") as f:
+            meta = _json.load(f)
+        sid_to_text = {}
+        for audio in meta.get("audios", []):
+            for seg in audio.get("segments", []):
+                if "sid" in seg:
+                    sid_to_text[seg["sid"]] = (
+                        seg.get("text_raw") or seg.get("text_tn")
+                        or "").strip()
+        return sid_to_text
 
     def load_transcripts(self):
         import json as _json
+        subset = "{" + (self._args.get("subset") or "XL") + "}"
+        translations = self._load_translations()
         out = {}
         self._segments = []
+        n_dropped = 0
         members = self._read_members(".json")
         for name, data in members.items():
             meta = _json.loads(data.decode("utf-8"))
             for audio in meta.get("audios", []):
+                if subset not in (audio.get("subsets") or [subset]):
+                    continue
                 path = os.path.splitext(
                     os.path.basename(audio.get("path", "")))[0]
                 for seg in audio.get("segments", []):
-                    self._segments.append({
+                    if subset not in (seg.get("subsets") or [subset]):
+                        continue
+                    text = seg.get("text_tn", "").strip()
+                    if any(g in text for g in self._GARBAGE):
+                        n_dropped += 1
+                        continue
+                    for tag, sym in self._TAG_MAP:
+                        text = text.replace(tag, sym)
+                    entry = {
                         "wav": path,
                         "start": float(seg.get("begin_time", 0)),
                         "end": float(seg.get("end_time", 0)),
-                        "transcript": seg.get("text_tn", "").strip()})
+                        "transcript": text}
+                    sid = seg.get("sid")
+                    if sid is not None and sid in translations:
+                        entry["translation"] = translations[sid]
+                    self._segments.append(entry)
+        if translations:
+            n_st = sum(1 for s in self._segments if "translation" in s)
+            logging.info("GigaST merge: %d/%d segments matched a "
+                         "translation.", n_st, len(self._segments))
+        if n_dropped:
+            logging.info("GigaSpeech: dropped %d garbage-only segments.",
+                         n_dropped)
         for i, seg in enumerate(self._segments):
             out.setdefault(seg["wav"], []).append(i)
         return out

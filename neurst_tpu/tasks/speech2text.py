@@ -162,6 +162,11 @@ class SpeechToText(Task):
                     transcript = transcript[:max_trg_len - 1] \
                         + transcript[-1:]
                 out["transcript"] = transcript
+            # carry a merged ST translation through to the record
+            # writer untouched (AudioTripleTFRecordDataset decodes
+            # either raw text or ids at load time)
+            if "translation" in data:
+                out["translation"] = data["translation"]
             return out
         return _process
 

@@ -116,3 +116,54 @@ def test_speech_task_bucketing_shapes(tmp_path):
             assert f in batch
     assert total == 80
     assert len(shapes) <= 12  # bounded compiled-shape set
+
+
+def test_gigaspeech_subset_filter_and_gigast_merge(tmp_path):
+    """GigaSpeech adapter: subset filtering at audio+segment level,
+    garbage drop, punctuation-tag mapping, GigaST sid-keyed translation
+    merge (parity: reference audio/gigaspeech.py:27-103 and
+    examples/speech_transformer/gigast/convert_data.py)."""
+    import json
+    import tarfile
+    import wave
+
+    import numpy as np
+
+    from neurst_tpu.data.datasets.dataset import build_dataset
+
+    wav = tmp_path / "POD1.wav"
+    x = (np.random.RandomState(0).randn(16000) * 3000).astype(np.int16)
+    with wave.open(str(wav), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(x.tobytes())
+    index = {"audios": [
+        {"path": "audio/POD1.wav", "subsets": ["{XL}"], "segments": [
+            {"sid": "POD1_1", "begin_time": 0.0, "end_time": 0.5,
+             "subsets": ["{XL}"],
+             "text_tn": "HELLO <COMMA> WORLD <PERIOD>"},
+            {"sid": "POD1_2", "begin_time": 0.5, "end_time": 0.7,
+             "subsets": ["{XL}"], "text_tn": "<NOISE>"},
+            {"sid": "POD1_3", "begin_time": 0.7, "end_time": 0.9,
+             "subsets": ["{S}"], "text_tn": "S ONLY"}]}]}
+    idx = tmp_path / "GigaSpeech.json"
+    idx.write_text(json.dumps(index))
+    st = tmp_path / "gigast.json"
+    st.write_text(json.dumps({"audios": [{"segments": [
+        {"sid": "POD1_1", "text_raw": "hallo, welt."}]}]}))
+    tar = tmp_path / "g.tar"
+    with tarfile.open(tar, "w") as t:
+        t.add(idx, arcname="GigaSpeech.json")
+        t.add(wav, arcname="audio/POD1.wav")
+
+    ds = build_dataset({"dataset.class": "gigaspeech",
+                        "dataset.params": {
+                            "input_tarball": str(tar), "subset": "XL",
+                            "extra_translation_json": str(st)}})
+    examples = list(ds.build_iterator()())
+    assert len(examples) == 1  # garbage + wrong-subset dropped
+    ex = examples[0]
+    assert ex["transcript"] == "HELLO , WORLD ."
+    assert ex["translation"] == "hallo, welt."
+    assert ex["audio_length"] == 8000  # 0.5s @ 16kHz, no extractor
