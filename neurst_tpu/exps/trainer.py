@@ -386,6 +386,9 @@ class Trainer(BaseExperiment):
         if model_dir and jax.process_index() == 0:
             self._save(model_dir, step, state, args)
         writer.close()
+        if last_loss is None and "metrics" in locals():
+            # train_steps < summary_steps: no summary point was hit
+            last_loss = float(metrics["loss"])
         logging.info("Training finished at step %d (last loss: %s)",
                      step, last_loss)
         return state
