@@ -60,6 +60,20 @@ class LabelSmoothedCrossEntropyWithKd(LabelSmoothedCrossEntropy):
         if teacher_logits is None:
             teacher_logits = model_inp.get("teacher_logits")
         if teacher_logits is None:
+            # CTNMT asymptotic distillation: state-level MSE between
+            # the encoder states and the (stopped-gradient) BERT states
+            # emitted by CtnmtSeq2SeqModule in bert_distillation mode
+            if isinstance(model_out, dict) \
+                    and "kd_teacher_states" in model_out:
+                s = model_out["kd_student_states"].astype(jnp.float32)
+                t = model_out["kd_teacher_states"].astype(jnp.float32)
+                pad = model_out.get("kd_padding")
+                w = (1.0 - pad).astype(jnp.float32) if pad is not None \
+                    else jnp.ones(s.shape[:2], jnp.float32)
+                mse = jnp.mean((s - t) ** 2, axis=-1)
+                kd_loss = jnp.sum(mse * w) / jnp.maximum(jnp.sum(w), 1.)
+                return (1.0 - self._kd_weight) * ce \
+                    + self._kd_weight * kd_loss
             return ce
         t = self._kd_temperature
         student_lp = jax.nn.log_softmax(

@@ -69,7 +69,7 @@ class BertDataPipeline(DataPipeline):
         }
 
     def preprocess(self, input):
-        input = DataPipeline.text_pre_normalize(self._language, input,
+        input = self.text_pre_normalize(self._language, input,
                                                 is_processed=False)
         if self._tokenizer is not None:
             return self._tokenizer.tokenize(input, return_str=True)

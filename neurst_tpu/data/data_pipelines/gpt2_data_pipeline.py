@@ -64,7 +64,7 @@ class GPT2DataPipeline(DataPipeline):
         }
 
     def preprocess(self, input):
-        input = DataPipeline.text_pre_normalize(self._language, input,
+        input = self.text_pre_normalize(self._language, input,
                                                 is_processed=False)
         return self._tokenizer.tokenize(input, return_str=True)
 

@@ -84,7 +84,7 @@ class MultilingualTextDataPipeline(DataPipeline):
         return self._lang_ids[lang]
 
     def preprocess(self, input):
-        input = DataPipeline.text_pre_normalize("en", input,
+        input = self.text_pre_normalize("en", input,
                                                 is_processed=False)
         if self._tokenizer is not None:
             return self._tokenizer.tokenize(input, return_str=True)

@@ -408,8 +408,20 @@ class GigaSpeech(RawAudioDataset):
     SUBSET_CHOICES = ("XS", "S", "M", "L", "XL",
                       "DEV", "TEST")
     _TAG_MAP = (("<QUESTIONMARK>", "?"), ("<EXCLAMATIONPOINT>", "!"),
-                ("<PERIOD>", "."), ("<COMMA>", ","))
+                ("<PERIOD>", "."), ("<COMMA>", ","),
+                # collapse the space the tags leave behind (parity:
+                # reference gigaspeech.py repl_marks)
+                (" ?", "?"), (" !", "!"), (" .", "."), (" ,", ","))
     _GARBAGE = ("<SIL>", "<NOISE>", "<MUSIC>", "<OTHER>")
+
+    def __init__(self, args=None):
+        super().__init__(args)
+        subset = self._args.get("subset") or "XL"
+        if subset not in self.SUBSET_CHOICES:
+            raise ValueError(
+                f"GigaSpeech subset must be one of "
+                f"{list(self.SUBSET_CHOICES)}, got '{subset}' (subsets "
+                f"are case-sensitive tags in the corpus index)")
 
     @staticmethod
     def class_or_method_args():
@@ -463,6 +475,7 @@ class GigaSpeech(RawAudioDataset):
                         continue
                     for tag, sym in self._TAG_MAP:
                         text = text.replace(tag, sym)
+                    text = text.lower()  # parity: reference lowercases
                     entry = {
                         "wav": path,
                         "start": float(seg.get("begin_time", 0)),

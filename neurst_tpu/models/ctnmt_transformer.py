@@ -56,22 +56,51 @@ class CtnmtSeq2SeqModule(Seq2SeqModule):
             self.ds_gate_u = nn.Dense(self.src_dim, use_bias=False,
                                       dtype=self.dtype, name="ds_gate_u")
 
-    def encode(self, inputs, is_training=False):
+    def build_encoder(self):
+        # bert_as_encoder: the BERT trunk IS the encoder; configs need
+        # no encoder.* dims and no MT encoder params are allocated
+        if self.bert_mode == "bert_as_encoder":
+            return None
+        return super().build_encoder()
+
+    def _encode_states(self, inputs, is_training):
+        """(fused encoder states, src padding, raw BERT states)."""
         src_padding = self.src_padding_of(inputs)
         bert_out = self.bert({"src": inputs["src"],
                               "src_padding": src_padding},
                              is_training=is_training)["encoder_outputs"]
         if self.bert_mode == "bert_as_encoder":
-            return bert_out, src_padding
+            return bert_out, src_padding, bert_out
         emb = self.embed_source(inputs["src"], is_training=is_training)
         enc = self.encoder(emb, src_padding, is_training=is_training)
         if self.bert_mode == "dynamic_switch":
             gate = nn.sigmoid(self.ds_gate_w(bert_out)
                               + self.ds_gate_u(enc))
             enc = gate * bert_out + (1.0 - gate) * enc
-        # bert_distillation: plain encoder output; the KD loss uses the
-        # BERT states at the criterion level (teacher supplied there)
+        return enc, src_padding, bert_out
+
+    def encode(self, inputs, is_training=False):
+        enc, src_padding, _ = self._encode_states(inputs, is_training)
         return enc, src_padding
+
+    def __call__(self, inputs, is_training=False):
+        enc, src_padding, bert_out = self._encode_states(
+            inputs, is_training)
+        trg_emb = self.trg_modality(inputs["trg_input"])
+        dec_out, _ = self.decoder(
+            trg_emb, memory=enc, memory_padding=src_padding,
+            is_training=is_training)
+        logits = self.output_logits(dec_out)
+        if self.bert_mode == "bert_distillation" and is_training:
+            # asymptotic distillation (CTNMT): pull the MT encoder
+            # states toward the frozen BERT states; the criterion adds
+            # the state-level term when these keys are present
+            import jax
+            return {"logits": logits,
+                    "kd_student_states": enc,
+                    "kd_teacher_states": jax.lax.stop_gradient(bert_out),
+                    "kd_padding": src_padding}
+        return logits
 
 
 @register_model("ctnmt")

@@ -107,6 +107,10 @@ class SpeechToText(Task):
             Flag("disable_batch_efficiency", dtype=Flag.TYPE.BOOLEAN,
                  default=None, help="Disable rounding bucket batch sizes "
                                     "to multiples of 8."),
+            Flag("batch_by_frames", dtype=Flag.TYPE.BOOLEAN, default=True,
+                 help="Interpret batch_size as an audio-frames budget "
+                      "in TRAIN mode (always the case for speech "
+                      "bucketed batching; kept for config parity)."),
         ])
         return args
 

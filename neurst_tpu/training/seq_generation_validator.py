@@ -93,6 +93,14 @@ class SeqGenerationValidator(Validator):
         return self
 
     def validate(self, step, params):
+        # check targets BEFORE the (expensive) decode of the eval set
+        targets = (getattr(self._dataset, "raw_targets", None)
+                   or self._dataset.targets)
+        if not targets:
+            logging.warning("Validation dataset has no targets; skipping "
+                            "generation validation (parity: reference "
+                            "seq_generation_validator.py:122-131).")
+            return False
         hypo_decode = self._task.get_data_postprocess_fn(
             DataStatus.PROJECTED)
         hypotheses = []
@@ -110,13 +118,6 @@ class SeqGenerationValidator(Validator):
                 if mask is not None and mask[i] == 0:
                     continue
                 hypotheses.append(hypo_decode(hyp[i * top_k].tolist()))
-        targets = (getattr(self._dataset, "raw_targets", None)
-                   or self._dataset.targets)
-        if not targets:
-            logging.warning("Validation dataset has no targets; skipping "
-                            "generation validation (parity: reference "
-                            "seq_generation_validator.py:122-131).")
-            return False
         targets = recover_targets(self._task, self._dataset,
                                   list(targets)[:len(hypotheses)])
         for i in range(min(self._display, len(hypotheses))):

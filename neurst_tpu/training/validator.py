@@ -42,7 +42,7 @@ def recover_targets(task, dataset, targets):
     status = dataset.status
     if isinstance(status, dict):
         status = status.get("transcript", DataStatus.RAW)
-    post = task.get_data_postprocess_fn(dataset.status)
+    post = task.get_data_postprocess_fn(status)
     if status == DataStatus.PROCESSED:
         return [post(t) for t in targets]
     # PROJECTED: id lists need decode; raw strings pass through

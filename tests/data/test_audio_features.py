@@ -164,6 +164,6 @@ def test_gigaspeech_subset_filter_and_gigast_merge(tmp_path):
     examples = list(ds.build_iterator()())
     assert len(examples) == 1  # garbage + wrong-subset dropped
     ex = examples[0]
-    assert ex["transcript"] == "HELLO , WORLD ."
+    assert ex["transcript"] == "hello, world."
     assert ex["translation"] == "hallo, welt."
     assert ex["audio_length"] == 8000  # 0.5s @ 16kHz, no extractor
