@@ -206,3 +206,69 @@ def test_rate_scheduled_updates_freeze_and_ramp():
     assert factors[2] == 0.0                             # ramp starts at 0
     assert 0.0 < factors[3] < 1.0                        # ramping
     assert factors[4] == 1.0                             # fully on
+
+
+def test_kd_criterion_state_distillation():
+    """CTNMT asymptotic distillation: the state-level MSE term engages
+    when kd_teacher_states is present (no teacher logits)."""
+    from neurst_tpu.criterions.label_smoothed_cross_entropy import \
+        LabelSmoothedCrossEntropy
+    from neurst_tpu.criterions.label_smoothed_cross_entropy_with_kd import \
+        LabelSmoothedCrossEntropyWithKd
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(2, 3, 7), jnp.float32)
+    enc = jnp.asarray(rng.randn(2, 4, 8), jnp.float32)
+    bert = jnp.asarray(rng.randn(2, 4, 8), jnp.float32)
+    inp = {"trg": np.array([[1, 2, 3], [4, 5, 6]], np.int32),
+           "trg_padding": np.zeros([2, 3], np.float32)}
+    plain = LabelSmoothedCrossEntropy({"label_smoothing": 0.1})
+    ce = float(plain.reduce_loss(inp, logits))
+    kd = LabelSmoothedCrossEntropyWithKd({"label_smoothing": 0.1,
+                                          "kd_weight": 0.5})
+    out = {"logits": logits, "kd_student_states": enc,
+           "kd_teacher_states": bert,
+           "kd_padding": np.zeros([2, 4], np.float32)}
+    total = float(kd.reduce_loss(inp, out))
+    mse = float(jnp.mean((enc - bert) ** 2))
+    assert abs(total - (0.5 * ce + 0.5 * mse)) < 1e-4
+    # identical states: the KD term vanishes
+    out["kd_teacher_states"] = enc
+    assert abs(float(kd.reduce_loss(inp, out)) - 0.5 * ce) < 1e-5
+
+
+def test_ctnmt_bert_as_encoder_builds_without_encoder_dims():
+    """bert_as_encoder skips the MT encoder entirely, so no encoder.*
+    dims are required (the BERT trunk is the encoder)."""
+    import jax
+
+    from neurst_tpu.models.model import build_model
+
+    cfg = {"model.class": "ctnmt", "model.params": {
+        "bert_mode": "bert_as_encoder",
+        "modality.share_embedding_and_softmax_weights": True,
+        "modality.dim": 8, "modality.timing": "sinusoids",
+        "decoder.num_layers": 1, "decoder.hidden_size": 8,
+        "decoder.num_attention_heads": 2, "decoder.filter_size": 16,
+        "bert.num_layers": 1, "bert.hidden_size": 8,
+        "bert.num_attention_heads": 2, "bert.filter_size": 16,
+        "dtype": "float32"}}
+    meta = {"vocab_size": 16, "eos_id": 1, "bos_id": 2, "unk_id": 3,
+            "pad_id": 1}
+    model = build_model(cfg, src_meta=dict(meta), trg_meta=dict(meta))
+    params = model.init_params(jax.random.PRNGKey(0))
+    flat_names = []
+
+    def _walk(d, prefix=""):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                _walk(v, prefix + k + "/")
+            else:
+                flat_names.append(prefix + k)
+    _walk(params)
+    assert any(n.startswith("bert/") for n in flat_names)
+    assert not any(n.startswith("encoder/") for n in flat_names)
+    inputs = {"src": jnp.ones([2, 5], jnp.int32),
+              "src_length": jnp.asarray([5, 3], jnp.int32),
+              "trg_input": jnp.ones([2, 4], jnp.int32)}
+    logits = model.call(params, inputs, is_training=False)
+    assert logits.shape == (2, 4, 16)
