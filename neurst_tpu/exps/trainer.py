@@ -320,10 +320,31 @@ class Trainer(BaseExperiment):
         window_samples = 0
         last_loss = None
         logging.info("Start training from step %d to %d", step, train_steps)
+        def _resilient_batches():
+            """Retries transient data errors up to 10 times per epoch
+            (parity: reference gradaccum_keras_model.py:285-300) so a
+            corrupt record or IO hiccup doesn't kill a long run."""
+            retries = 0
+            it = batch_iter_fn()
+            while True:
+                try:
+                    yield next(it)
+                    continue
+                except StopIteration:
+                    return
+                except Exception as e:  # noqa: BLE001
+                    retries += 1
+                    if retries > 10:
+                        raise
+                    logging.warning(
+                        "data error (retry %d/10), restarting the "
+                        "epoch iterator: %s", retries, e)
+                    it = batch_iter_fn()
+
         with mesh:
             while step < train_steps:
                 epoch_batches = 0
-                for batch in batch_iter_fn():
+                for batch in _resilient_batches():
                     host_batch = batch
                     if update_cycle > 1:
                         host_batch = _split_microbatches(batch, update_cycle)
