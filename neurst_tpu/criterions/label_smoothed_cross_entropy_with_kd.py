@@ -37,14 +37,17 @@ class LabelSmoothedCrossEntropyWithKd(LabelSmoothedCrossEntropy):
 
     def __init__(self, args=None):
         super().__init__(args)
-        self._kd_weight = float(self._args.get("kd_weight") or 0.5)
-        self._kd_temperature = float(
-            self._args.get("kd_temperature") or 1.0)
+        v = self._args.get("kd_weight")
+        self._kd_weight = 0.1 if v is None else float(v)
+        assert 0.0 <= self._kd_weight < 1.0, (
+            f"kd_weight must be in [0, 1), got {self._kd_weight}")
+        v = self._args.get("kd_temperature")
+        self._kd_temperature = 1.0 if v is None else float(v)
 
     @staticmethod
     def class_or_method_args():
         return LabelSmoothedCrossEntropy.class_or_method_args() + [
-            Flag("kd_weight", dtype=Flag.TYPE.FLOAT, default=0.5,
+            Flag("kd_weight", dtype=Flag.TYPE.FLOAT, default=0.1,
                  help="The weight of the distillation term."),
             Flag("kd_temperature", dtype=Flag.TYPE.FLOAT, default=1.0,
                  help="The distillation softmax temperature."),
@@ -70,8 +73,11 @@ class LabelSmoothedCrossEntropyWithKd(LabelSmoothedCrossEntropy):
                 pad = model_out.get("kd_padding")
                 w = (1.0 - pad).astype(jnp.float32) if pad is not None \
                     else jnp.ones(s.shape[:2], jnp.float32)
-                mse = jnp.mean((s - t) ** 2, axis=-1)
-                kd_loss = jnp.sum(mse * w) / jnp.maximum(jnp.sum(w), 1.)
+                # squared L2 norm over the hidden dim per position
+                # (reference uses square(norm(s - t)), i.e. a SUM, not
+                # a mean — a mean under-weights KD by ~hidden_size)
+                sq = jnp.sum((s - t) ** 2, axis=-1)
+                kd_loss = jnp.sum(sq * w) / jnp.maximum(jnp.sum(w), 1.)
                 return (1.0 - self._kd_weight) * ce \
                     + self._kd_weight * kd_loss
             return ce

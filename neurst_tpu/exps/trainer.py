@@ -321,25 +321,44 @@ class Trainer(BaseExperiment):
         last_loss = None
         logging.info("Start training from step %d to %d", step, train_steps)
         def _resilient_batches():
-            """Retries transient data errors up to 10 times per epoch
-            (parity: reference gradaccum_keras_model.py:285-300) so a
-            corrupt record or IO hiccup doesn't kill a long run."""
+            """Retries transient data/IO errors up to 10 times per
+            epoch (parity: reference gradaccum_keras_model.py:285-300,
+            which catches only tf.errors data errors).  On retry the
+            fresh iterator is fast-forwarded past the batches already
+            consumed (plus the failing one) so nothing is re-trained.
+            Multi-host runs fail fast instead: one host silently
+            replaying or skipping batches would desynchronize per-host
+            step counts at the jitted collectives."""
             retries = 0
+            consumed = 0
             it = batch_iter_fn()
             while True:
                 try:
                     yield next(it)
+                    consumed += 1
                     continue
                 except StopIteration:
                     return
-                except Exception as e:  # noqa: BLE001
+                except (IOError, EOFError, ValueError) as e:
+                    if jax.process_count() > 1:
+                        raise
                     retries += 1
                     if retries > 10:
                         raise
                     logging.warning(
-                        "data error (retry %d/10), restarting the "
-                        "epoch iterator: %s", retries, e)
+                        "data error (retry %d/10) after %d batches, "
+                        "skipping the failing batch: %s",
+                        retries, consumed, e)
                     it = batch_iter_fn()
+                    skip = consumed + 1  # +1: skip the failing batch
+                    for _ in range(skip):
+                        try:
+                            next(it)
+                        except StopIteration:
+                            return
+                        except (IOError, EOFError, ValueError):
+                            pass  # same bad record during fast-forward
+                    consumed = skip
 
         with mesh:
             while step < train_steps:

@@ -64,11 +64,20 @@ class CtnmtSeq2SeqModule(Seq2SeqModule):
         return super().build_encoder()
 
     def _encode_states(self, inputs, is_training):
-        """(fused encoder states, src padding, raw BERT states)."""
+        """(fused encoder states, src padding, raw BERT states).
+
+        In bert_distillation mode the BERT states are only consumed by
+        the training criterion, so inference/beam decode skips the
+        whole BERT forward (returns None for the third element).
+        """
         src_padding = self.src_padding_of(inputs)
-        bert_out = self.bert({"src": inputs["src"],
-                              "src_padding": src_padding},
-                             is_training=is_training)["encoder_outputs"]
+        need_bert = (self.bert_mode != "bert_distillation") \
+            or is_training or self.is_initializing()
+        bert_out = None
+        if need_bert:
+            bert_out = self.bert({"src": inputs["src"],
+                                  "src_padding": src_padding},
+                                 is_training=is_training)["encoder_outputs"]
         if self.bert_mode == "bert_as_encoder":
             return bert_out, src_padding, bert_out
         emb = self.embed_source(inputs["src"], is_training=is_training)

@@ -119,6 +119,27 @@ def test_kd_criterion_teacher_equals_student():
     assert abs(total - 0.5 * ce) < 1e-4
 
 
+def test_kd_weight_zero_is_respected():
+    """An explicit kd_weight: 0.0 must not fall back to the default."""
+    from neurst_tpu.criterions.label_smoothed_cross_entropy import \
+        LabelSmoothedCrossEntropy
+    from neurst_tpu.criterions.label_smoothed_cross_entropy_with_kd import \
+        LabelSmoothedCrossEntropyWithKd
+    rng = np.random.RandomState(2)
+    logits = jnp.asarray(rng.randn(2, 3, 7), jnp.float32)
+    inp = {"trg": np.array([[1, 2, 3], [4, 5, 6]], np.int32),
+           "trg_padding": np.zeros([2, 3], np.float32)}
+    ce = float(LabelSmoothedCrossEntropy(
+        {"label_smoothing": 0.1}).reduce_loss(inp, logits))
+    kd = LabelSmoothedCrossEntropyWithKd({"label_smoothing": 0.1,
+                                          "kd_weight": 0.0})
+    out = {"logits": logits,
+           "teacher_logits": jnp.asarray(rng.randn(2, 3, 7), jnp.float32)}
+    assert abs(float(kd.reduce_loss(inp, out)) - ce) < 1e-5
+    # default matches the reference's 0.1
+    assert LabelSmoothedCrossEntropyWithKd({})._kd_weight == 0.1
+
+
 def test_checkpoint_save_restore_average(tmp_path):
     from neurst_tpu.utils import checkpoints as ck
     params = {"a": {"w": np.ones([2, 2], np.float32)},
@@ -229,8 +250,10 @@ def test_kd_criterion_state_distillation():
            "kd_teacher_states": bert,
            "kd_padding": np.zeros([2, 4], np.float32)}
     total = float(kd.reduce_loss(inp, out))
-    mse = float(jnp.mean((enc - bert) ** 2))
-    assert abs(total - (0.5 * ce + 0.5 * mse)) < 1e-4
+    # reference semantics: squared L2 norm over the hidden dim (SUM),
+    # averaged over non-padded positions
+    sq = float(jnp.mean(jnp.sum((enc - bert) ** 2, axis=-1)))
+    assert abs(total - (0.5 * ce + 0.5 * sq)) < 1e-4
     # identical states: the KD term vanishes
     out["kd_teacher_states"] = enc
     assert abs(float(kd.reduce_loss(inp, out)) - 0.5 * ce) < 1e-5
