@@ -1,0 +1,191 @@
+"""Multi-device training correctness on the virtual 8-CPU mesh.
+
+These tests close the reference's own upstream-trust gap (SURVEY.md §4:
+"no multi-node test harness... distributed correctness relies on
+tf.distribute/Horovod upstream"): we assert that our mesh-sharded
+training is *numerically identical* to single-device training.
+
+  * dp=8 sharded train steps == single-device steps (loss + params)
+  * tp=2 sharded forward logits == unsharded forward
+  * grad accumulation (update_cycle=4) == one big batch
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+META = {"vocab_size": 24, "eos_id": 22, "bos_id": 22, "unk_id": 21}
+
+
+def _toy_model():
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.models.transformer import Transformer
+    args = Transformer.build_model_args_by_name("transformer_toy")
+    cfg = dict(args["model.params"])
+    cfg["dtype"] = "float32"
+    for prefix in ("encoder", "decoder"):
+        cfg[f"{prefix}.attention_dropout_rate"] = 0.0
+        cfg[f"{prefix}.ffn_dropout_rate"] = 0.0
+        cfg[f"{prefix}.layer_postprocess_dropout_rate"] = 0.0
+    return build_model({"model.class": "transformer", "model.params": cfg},
+                       src_meta=META, trg_meta=META)
+
+
+def _batch(batch_size=8, src_len=6, trg_len=5, seed=0):
+    # fixed-length rows, no padding: keeps per-micro-batch token counts
+    # equal so grad-accum averaging is exactly equivalent
+    rng = np.random.RandomState(seed)
+    return {
+        "src": rng.randint(3, 20, size=[batch_size, src_len]).astype(np.int32),
+        "src_padding": np.zeros([batch_size, src_len], np.float32),
+        "trg_input": rng.randint(3, 20,
+                                 size=[batch_size, trg_len]).astype(np.int32),
+        "trg": rng.randint(3, 20, size=[batch_size, trg_len]).astype(np.int32),
+        "trg_padding": np.zeros([batch_size, trg_len], np.float32),
+        "trg_length": np.full([batch_size], trg_len, np.int32),
+        "sample_mask": np.ones([batch_size], np.float32),
+    }
+
+
+def _train_setup(model):
+    from neurst_tpu.criterions.label_smoothed_cross_entropy import \
+        LabelSmoothedCrossEntropy
+    from neurst_tpu.optimizers.optimizers import Adam, create_optax_chain
+    from neurst_tpu.optimizers.schedules.lr_schedules import NoamSchedule
+    criterion = LabelSmoothedCrossEntropy({"label_smoothing": 0.1})
+    lr = NoamSchedule({"dmodel": 8, "warmup_steps": 100,
+                       "initial_factor": 1.0})
+    tx = create_optax_chain(Adam({"epsilon": 1e-9, "beta_1": 0.9,
+                                  "beta_2": 0.98}), lr, clip_norm=1.0)
+    return criterion, tx, lr
+
+
+def _run_steps(model, mesh, n_steps, update_cycle=1, batch_seed=0):
+    """Runs n_steps identical-batch train steps on `mesh`, returns
+    (losses, final params as host arrays).
+
+    Uses plain SGD: sharded vs unsharded forwards differ by float
+    reduction-order noise (~1e-7), and an adaptive optimizer (Adam
+    m/sqrt(v)) amplifies that noise to full-update magnitude on
+    near-zero-gradient coordinates — SGD keeps parameter trajectories
+    comparable at float tolerance, which is what this test is for.
+    """
+    import optax
+    from neurst_tpu.parallel import (TrainState, batch_sharding,
+                                     make_train_step, params_shardings)
+    from neurst_tpu.parallel.utils import put_batch
+    criterion, _, _ = _train_setup(model)
+    tx = optax.sgd(0.1)
+    params = model.init_params(jax.random.PRNGKey(0))
+    p_shard = params_shardings(mesh, model.params_spec())
+    params = jax.tree_util.tree_map(jax.device_put, params, p_shard)
+    state = TrainState.create(params, tx)
+    step_fn = make_train_step(model, criterion, tx,
+                              update_cycle=update_cycle)
+    jit_step = jax.jit(step_fn)
+    host = _batch(seed=batch_seed)
+    if update_cycle > 1:
+        host = {k: v.reshape((update_cycle, -1) + v.shape[1:])
+                for k, v in host.items()}
+    losses = []
+    with mesh:
+        batch = put_batch(mesh, host,
+                          batch_axis=1 if update_cycle > 1 else 0)
+        for i in range(n_steps):
+            state, metrics = jit_step(state, batch, jax.random.PRNGKey(7))
+            losses.append(float(metrics["loss"]))
+    final = jax.tree_util.tree_map(np.asarray, state.params)
+    return losses, final
+
+
+def _max_tree_diff(a, b):
+    leaves_a = jax.tree_util.tree_leaves(a)
+    leaves_b = jax.tree_util.tree_leaves(b)
+    return max(float(np.max(np.abs(x - y)))
+               for x, y in zip(leaves_a, leaves_b))
+
+
+@pytest.fixture(scope="module")
+def meshes():
+    from neurst_tpu.parallel import make_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh (see conftest)")
+    return {
+        "dp8": make_mesh(model_parallel=1),
+        "dp4tp2": make_mesh(model_parallel=2),
+        "single": make_mesh(devices=jax.devices()[:1]),
+    }
+
+
+def test_dp8_train_matches_single_device(meshes):
+    """Data-parallel sharded steps must equal single-device steps:
+    same loss trajectory, same parameters after 3 updates."""
+    model = _toy_model()
+    losses8, params8 = _run_steps(model, meshes["dp8"], n_steps=3)
+    losses1, params1 = _run_steps(model, meshes["single"], n_steps=3)
+    np.testing.assert_allclose(losses8, losses1, rtol=0, atol=1e-5)
+    assert _max_tree_diff(params8, params1) < 1e-5
+
+
+def test_tp2_forward_matches_unsharded(meshes):
+    """Tensor-parallel (model-sharded) forward logits == unsharded."""
+    from neurst_tpu.parallel import batch_sharding, params_shardings
+    from neurst_tpu.parallel.utils import put_batch
+    model = _toy_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    host = _batch()
+    inputs = {k: host[k] for k in ("src", "src_padding", "trg_input")}
+
+    ref = np.asarray(model.call(params, inputs, is_training=False))
+
+    mesh = meshes["dp4tp2"]
+    p_shard = params_shardings(mesh, model.params_spec())
+    sharded_params = jax.tree_util.tree_map(jax.device_put, params, p_shard)
+    fwd = jax.jit(lambda p, x: model.call(p, x, is_training=False))
+    with mesh:
+        device_inputs = put_batch(mesh, inputs)
+        out = np.asarray(fwd(sharded_params, device_inputs))
+    np.testing.assert_allclose(out, ref, rtol=0, atol=2e-4)
+    # sanity: the tp axis really shards some parameter
+    specs = jax.tree_util.tree_leaves(
+        p_shard, is_leaf=lambda s: hasattr(s, "spec"))
+    assert any("model" in str(s.spec) for s in specs)
+
+
+def test_grad_accum_equals_big_batch(meshes):
+    """update_cycle=4 over 2-example micro-batches == one 8-example
+    batch (identical per-micro token counts make this exact)."""
+    model = _toy_model()
+    losses_acc, params_acc = _run_steps(model, meshes["single"],
+                                        n_steps=2, update_cycle=4)
+    losses_big, params_big = _run_steps(model, meshes["single"], n_steps=2)
+    np.testing.assert_allclose(losses_acc, losses_big, rtol=0, atol=1e-5)
+    assert _max_tree_diff(params_acc, params_big) < 1e-5
+
+
+def test_dp_grads_match_single_device(meshes):
+    """The raw gradient pytree from a dp=8 sharded loss equals the
+    single-device gradients on the same batch."""
+    from neurst_tpu.parallel.utils import put_batch
+    model = _toy_model()
+    criterion, _, _ = _train_setup(model)
+    params = model.init_params(jax.random.PRNGKey(0))
+    host = _batch(seed=3)
+
+    def loss_fn(p, b):
+        logits = model.call(p, b, is_training=True,
+                            rngs={"dropout": jax.random.PRNGKey(5)})
+        return criterion.reduce_loss(b, logits)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    loss_ref, grads_ref = grad_fn(params, host)
+    mesh = meshes["dp8"]
+    with mesh:
+        batch = put_batch(mesh, host)
+        loss_dp, grads_dp = grad_fn(params, batch)
+    assert abs(float(loss_dp) - float(loss_ref)) < 1e-6
+    assert _max_tree_diff(
+        jax.tree_util.tree_map(np.asarray, grads_dp),
+        jax.tree_util.tree_map(np.asarray, grads_ref)) < 1e-5
