@@ -1,14 +1,21 @@
-"""Benchmark: libri-trans-style ST beam-search decode throughput.
+"""Benchmark: ST beam-search decode throughput + MT train throughput/MFU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-The flagship path from BASELINE.json: SpeechTransformer-s (12-layer
-encoder, d=256) beam-4 decode over 10-second utterances (1000 fbank
-frames), measuring utterances/sec/chip.  The reference publishes no
-throughput numbers (BASELINE.md "Speed"), so ``vs_baseline`` is the
-ratio against the north-star target = 5x the single-CPU-core decode
-throughput measured for this exact workload (CPU_BASELINE_UTT_PER_SEC
-below, measured on this host's CPU backend).
+Headline metric (BASELINE.json): SpeechTransformer-s (12-layer encoder,
+d=256) beam-4 decode over ~10-second utterances (1024 fbank frames),
+utterances/sec/chip.  The reference publishes no throughput numbers
+(BASELINE.md "Speed"), so ``vs_baseline`` is the ratio against the
+north-star target = 5x the single-CPU-core decode throughput for this
+exact workload (CPU_BASELINE_UTT_PER_SEC, measured on this host).
+
+``extra`` additionally captures a transformer_base training step
+(WMT-style MT, vocab 32k, bf16): target tokens/s/chip and model FLOPs
+utilization against the v5e bf16 peak (197 TFLOP/s).  Batch sweep notes:
+decode throughput is latency-bound in the sequential decode loop (flat
+from batch 16 to 128 — 504/502/465/419 utt/s), so batch 16 is kept;
+train throughput peaks at batch 256x64 (1024x64 OOMs on the f32
+[B,T,V] CE temporaries; 128/256/512 give 100k/104k/97k tok/s).
 """
 
 import json
@@ -29,10 +36,33 @@ BEAM = 4
 WARMUP = 2
 ITERS = 10
 
+# train-side config (transformer_base per the WMT14 recipe)
+TRAIN_BATCH = 256
+TRAIN_LEN = 64
+TRAIN_VOCAB = 32768
+V5E_BF16_PEAK_FLOPS = 197e12
 
-def main():
-    import jax
 
+def _median_time(fn, fetch, warmup, iters, chain):
+    """Median per-call seconds.  NOTE: jax.block_until_ready does NOT
+    truly synchronize on the axon remote backend; fetching a value
+    does.  The tunnel adds ~26 ms per fetch, so each measurement chains
+    `chain` dispatches (the device serializes them) and fetches once —
+    pipelined throughput, as in production serving."""
+    for _ in range(warmup):
+        fetch(fn())
+    times = []
+    for _ in range(iters):
+        start = time.perf_counter()
+        out = None
+        for _ in range(chain):
+            out = fn()
+        fetch(out)
+        times.append((time.perf_counter() - start) / chain)
+    return sorted(times)[len(times) // 2]
+
+
+def bench_decode(jax):
     from __graft_entry__ import _build_model
     from neurst_tpu.layers.search.beam_search import sequence_beam_search
 
@@ -61,35 +91,105 @@ def main():
             extra_decode_length=MAX_DECODE,
             minimum_decode_length=MAX_DECODE - 1)  # force full-length decode
 
-    # NOTE: jax.block_until_ready does NOT truly synchronize on the
-    # axon remote backend; fetching a value does.  The tunnel adds a
-    # ~26 ms round trip per fetch, so each measurement chains CHAIN
-    # dispatches (the device serializes them) and fetches once —
-    # pipelined throughput, as in production serving.
-    CHAIN = 8
-    for _ in range(WARMUP):
-        hyp, scores = decode(params, inputs)
-        np.asarray(hyp)
-    times = []
-    for _ in range(ITERS):
-        start = time.perf_counter()
-        for _ in range(CHAIN):
-            hyp, scores = decode(params, inputs)
-        np.asarray(hyp)
-        times.append((time.perf_counter() - start) / CHAIN)
-    # median batch time: robust to host/tunnel contention spikes
-    elapsed = sorted(times)[len(times) // 2]
-
+    elapsed = _median_time(lambda: decode(params, inputs),
+                           lambda out: np.asarray(out[0]),
+                           WARMUP, ITERS, chain=8)
     utt_per_sec = BATCH / elapsed
     audio_secs = BATCH * (FRAMES / 100.0)
-    rtf = elapsed / audio_secs  # real-time factor (lower is better)
+    rtf = (elapsed / audio_secs)  # real-time factor (lower is better)
+    return utt_per_sec, rtf
+
+
+def _train_flops(n_src_tok, n_trg_tok, dmodel=512, layers=6, ffn=2048,
+                 vocab=TRAIN_VOCAB, batch=TRAIN_BATCH, length=TRAIN_LEN):
+    """Analytic transformer_base train FLOPs (fwd + 2x bwd = 3x fwd)."""
+    enc_mat = layers * (4 * dmodel * dmodel + 2 * dmodel * ffn)
+    dec_mat = layers * (8 * dmodel * dmodel + 2 * dmodel * ffn)
+    softmax_mat = dmodel * vocab
+    fwd_mat = 2 * (enc_mat * n_src_tok
+                   + (dec_mat + softmax_mat) * n_trg_tok)
+    # attention scores+context (2 matmuls, 2*T*T*d each per layer)
+    att = 4 * dmodel * layers * batch * (
+        length * length      # encoder self
+        + length * length    # decoder self (full, causal-masked)
+        + length * length)   # cross
+    return 3 * (fwd_mat + att)
+
+
+def bench_train(jax):
+    from neurst_tpu.criterions.label_smoothed_cross_entropy import \
+        LabelSmoothedCrossEntropy
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.models.transformer import Transformer
+    from neurst_tpu.optimizers.optimizers import Adam, create_optax_chain
+    from neurst_tpu.optimizers.schedules.lr_schedules import NoamSchedule
+    from neurst_tpu.parallel import TrainState, make_train_step
+
+    meta = {"vocab_size": TRAIN_VOCAB, "eos_id": 1, "bos_id": 2,
+            "unk_id": 3}
+    cfg = dict(Transformer.build_model_args_by_name(
+        "transformer_base")["model.params"])
+    cfg["dtype"] = "bfloat16"
+    model = build_model(
+        {"model.class": "transformer", "model.params": cfg},
+        src_meta=meta, trg_meta=meta)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    criterion = LabelSmoothedCrossEntropy({"label_smoothing": 0.1})
+    lr = NoamSchedule({"dmodel": 512, "warmup_steps": 4000,
+                       "initial_factor": 1.0})
+    tx = create_optax_chain(Adam({"epsilon": 1e-9, "beta_1": 0.9,
+                                  "beta_2": 0.98}), lr, clip_norm=1.0)
+    state = TrainState.create(params, tx)
+    step_fn = jax.jit(make_train_step(model, criterion, tx),
+                      donate_argnums=(0,))
+
+    b, L = TRAIN_BATCH, TRAIN_LEN
+    rng = np.random.RandomState(0)
+    batch = {
+        "src": rng.randint(4, TRAIN_VOCAB, size=[b, L]).astype(np.int32),
+        "src_padding": np.zeros([b, L], np.float32),
+        "trg_input": rng.randint(4, TRAIN_VOCAB,
+                                 size=[b, L]).astype(np.int32),
+        "trg": rng.randint(4, TRAIN_VOCAB, size=[b, L]).astype(np.int32),
+        "trg_padding": np.zeros([b, L], np.float32),
+        "trg_length": np.full([b], L, np.int32),
+        "sample_mask": np.ones([b], np.float32),
+    }
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+    key = jax.random.PRNGKey(1)
+
+    holder = {"state": state}
+
+    def one_step():
+        new_state, metrics = step_fn(holder["state"], batch, key)
+        holder["state"] = new_state
+        return metrics
+
+    elapsed = _median_time(one_step, lambda m: float(m["loss"]),
+                           warmup=2, iters=5, chain=4)
+    tokens_per_sec = b * L / elapsed
+    mfu = _train_flops(b * L, b * L) / elapsed / V5E_BF16_PEAK_FLOPS
+    return tokens_per_sec, elapsed, mfu
+
+
+def main():
+    import jax
+
+    utt_per_sec, rtf = bench_decode(jax)
+    train_tok_s, train_step_s, mfu = bench_train(jax)
     print(json.dumps({
         "metric": "st_beam4_decode_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 3),
         "unit": "utt/s",
         "vs_baseline": round(utt_per_sec / TARGET, 3),
         "extra": {"rtf": round(rtf, 5), "batch": BATCH, "frames": FRAMES,
-                  "max_decode": MAX_DECODE, "beam": BEAM},
+                  "max_decode": MAX_DECODE, "beam": BEAM,
+                  "train_model": "transformer_base_bf16",
+                  "train_trg_tokens_per_sec_per_chip": round(train_tok_s),
+                  "train_step_ms": round(train_step_s * 1000, 1),
+                  "train_batch": [TRAIN_BATCH, TRAIN_LEN],
+                  "mfu": round(mfu, 3)},
     }))
 
 
