@@ -69,14 +69,26 @@ def main(argv=None):
         raise ValueError("--output_template is required "
                          "(e.g. train.tfrecords-%5.5d-of-%5.5d)")
 
-    task = build_task(args)
     dataset = build_dataset(args)
-    preprocess = task.get_data_preprocess_fn(ModeKeys.TRAIN, dataset.status)
+    if args.get("task.class"):
+        task = build_task(args)
+        preprocess = task.get_data_preprocess_fn(ModeKeys.TRAIN,
+                                                 dataset.status)
+    else:
+        # no task: store what the dataset yields (e.g. fbank features +
+        # raw transcripts from a RawAudioDataset — the reference's
+        # 02-audio_feature_extraction stage runs create_tfrecords the
+        # same way, without a task)
+        preprocess = None
 
-    # shards owned by this processor
+    # shards owned by this processor (the explicit range flags mirror
+    # the reference's create_tfrecords surface so its recipes run
+    # unchanged; by default the range is derived from processor_id)
     shards_per_proc = num_output_shards // num_processors
-    first = processor_id * shards_per_proc
-    own = list(range(first, first + shards_per_proc))
+    begin = int(argv_dict.get("output_range_begin",
+                              processor_id * shards_per_proc))
+    end = int(argv_dict.get("output_range_end", begin + shards_per_proc))
+    own = list(range(begin, end))
     writers = []
     for s in own:
         path = template % (s, num_output_shards) if "%" in template \

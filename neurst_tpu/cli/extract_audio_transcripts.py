@@ -30,8 +30,12 @@ def main(argv=None):
     argv_dict, _ = get_argv_dict(argv)
     args = parse_and_merge(argv)
     dataset = build_dataset(args)
-    transcript_file = argv_dict.get("transcript_file")
-    translation_file = argv_dict.get("translation_file")
+    # --output_*_file are the reference's flag names
+    # (neurst/cli/extract_audio_transcripts.py); both spellings work
+    transcript_file = (argv_dict.get("transcript_file")
+                       or argv_dict.get("output_transcript_file"))
+    translation_file = (argv_dict.get("translation_file")
+                        or argv_dict.get("output_translation_file"))
     ft = open(transcript_file, "w", encoding="utf-8") \
         if transcript_file else None
     fl = open(translation_file, "w", encoding="utf-8") \

@@ -28,10 +28,26 @@ def main(argv=None):
     p.add_argument("--subtokenizer_codes", default=None,
                    help="BPE codes / spm model path.")
     p.add_argument("--detokenize", action="store_true")
+    p.add_argument("--normalize_punctuation", action="store_true",
+                   help="Normalize punctuation before tokenizing "
+                        "(replaces the moses normalize-punctuation + "
+                        "remove-non-printing-char perl stages used by "
+                        "the reference recipes).")
     p.add_argument("--input", default=None, help="Input file (else stdin).")
     p.add_argument("--output", default=None,
                    help="Output file (else stdout).")
     args = p.parse_args(argv)
+
+    normalize = None
+    if args.normalize_punctuation:
+        import re
+
+        import sacremoses
+        norm = sacremoses.MosesPunctNormalizer(lang=args.language)
+        nonprint = re.compile(r"[\x00-\x08\x0b-\x1f\x7f-\x9f]")
+
+        def normalize(s):
+            return nonprint.sub("", norm.normalize(s))
 
     tok = build_tokenizer_by_name(args.tokenizer, language=args.language)
     if args.subtokenizer_codes:
@@ -41,6 +57,8 @@ def main(argv=None):
         else sys.stdout
     for line in fin:
         line = line.rstrip("\n")
+        if normalize is not None:
+            line = normalize(line)
         if args.detokenize:
             fout.write(tok.detokenize(line, return_str=True) + "\n")
         else:

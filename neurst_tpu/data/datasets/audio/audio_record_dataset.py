@@ -22,6 +22,7 @@ keeps reference-era files readable.
 """
 
 from neurst_tpu.data.datasets.dataset import RecordDataset, register_dataset
+from neurst_tpu.utils.compat import DataStatus
 from neurst_tpu.data.datasets.parallel_text_dataset import AbstractParallelDataset
 from neurst_tpu.utils.flags_core import Flag
 
@@ -53,6 +54,28 @@ class AudioRecordDataset(RecordDataset, AbstractParallelDataset):
     def fields(self):
         return {self._feature_key: "float32",
                 self._transcript_key: "int64"}
+
+    @property
+    def status(self):
+        """Audio is always PROJECTED; the text sides are sniffed from
+        the first record — stage-2 recipe records store raw strings
+        (features extracted, text untouched), stage-3 records store
+        token ids."""
+        if getattr(self, "_sniffed_status", None) is None:
+            text_status = DataStatus.PROJECTED
+            try:
+                ex = next(iter(self.build_iterator()()))
+                if any(isinstance(ex.get(k), str)
+                       for k in ("transcript", "translation")):
+                    text_status = DataStatus.RAW
+            except StopIteration:
+                pass
+            self._sniffed_status = {
+                "audio": DataStatus.PROJECTED,
+                "transcript": text_status,
+                "translation": text_status,
+            }
+        return self._sniffed_status
 
     def parse_record(self, parsed):
         out = {"audio": parsed[self._feature_key]}

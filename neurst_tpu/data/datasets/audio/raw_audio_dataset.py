@@ -99,44 +99,60 @@ class RawAudioDataset(Dataset):
         return {"audio": waveform.astype(np.float32),
                 "audio_length": len(waveform)}
 
+    def _iter_archive(self):
+        """Streams (member_name, read_bytes_fn) from the archive —
+        tarballs (tgz etc.) or zip files (Augmented LibriSpeech, MuST-C
+        distributions ship zips; parity: the reference's
+        audio_dataset.py streams both)."""
+        path = self._input_tarball
+        import zipfile
+        if zipfile.is_zipfile(path):
+            with zipfile.ZipFile(path) as z:
+                for info in z.infolist():
+                    if info.is_dir():
+                        continue
+                    yield info.filename, (lambda i=info: z.read(i))
+        else:
+            with tarfile.open(path, "r|*") as tar:
+                for member in tar:
+                    if not member.isfile():
+                        continue
+                    yield member.name, \
+                        (lambda m=member: tar.extractfile(m).read())
+
     def build_iterator(self, map_func=None, shard_id=0, total_shards=1):
         transcripts = self._transcripts()
 
         def gen():
             idx = 0
-            with tarfile.open(self._input_tarball, "r|*") as tar:
-                for member in tar:
-                    if not member.isfile():
-                        continue
-                    key = os.path.basename(member.name)
-                    stem = os.path.splitext(key)[0]
-                    meta = (transcripts.get(member.name)
-                            or transcripts.get(key)
-                            or transcripts.get(stem))
-                    if meta is None:
-                        continue
-                    if total_shards > 1 and idx % total_shards != shard_id:
-                        idx += 1
-                        continue
+            for name, read in self._iter_archive():
+                key = os.path.basename(name)
+                stem = os.path.splitext(key)[0]
+                meta = (transcripts.get(name)
+                        or transcripts.get(key)
+                        or transcripts.get(stem))
+                if meta is None:
+                    continue
+                if total_shards > 1 and idx % total_shards != shard_id:
                     idx += 1
-                    data = tar.extractfile(member).read()
-                    fmt = os.path.splitext(member.name)[1]
-                    example = self._process_audio(data, fmt)
-                    example.update(meta)
-                    if map_func is not None:
-                        example = map_func(example)
-                    if example is not None:
-                        yield example
+                    continue
+                idx += 1
+                data = read()
+                fmt = os.path.splitext(name)[1]
+                example = self._process_audio(data, fmt)
+                example.update(meta)
+                if map_func is not None:
+                    example = map_func(example)
+                if example is not None:
+                    yield example
         return gen
 
     # helper for subclasses: read text members in one streaming pass
     def _read_members(self, *suffixes: str) -> Dict[str, bytes]:
         out = {}
-        with tarfile.open(self._input_tarball, "r|*") as tar:
-            for member in tar:
-                if member.isfile() and any(
-                        member.name.endswith(s) for s in suffixes):
-                    out[member.name] = tar.extractfile(member).read()
+        for name, read in self._iter_archive():
+            if any(name.endswith(s) for s in suffixes):
+                out[name] = read()
         return out
 
 

@@ -422,6 +422,32 @@ class MultiTaskSpeechTranslation(SpeechToText):
                        help="The data pipeline for the translation text."),
         ]
 
+    def get_data_preprocess_fn(self, mode, data_status=DataStatus.RAW,
+                               args=None):
+        """Projects BOTH text sides (transcript via the inherited
+        pipeline, translation via ``translation_data_pipeline``) —
+        the offline-projection use the reference DOES implement
+        (speech2text.py:455-479, used by the librispeech/must-c
+        03-preprocess recipes to build asr_st records)."""
+        base = super().get_data_preprocess_fn(mode, data_status, args)
+        if isinstance(data_status, dict):
+            trans_status = data_status.get("translation", DataStatus.RAW)
+        else:
+            trans_status = data_status
+
+        def _process(data):
+            out = base(data)
+            translation = out.get("translation")
+            if translation is not None \
+                    and self._translation_pipeline is not None \
+                    and trans_status != DataStatus.PROJECTED:
+                out["translation"] = [int(x) for x in
+                                      self._translation_pipeline.encode(
+                    translation,
+                    is_processed=(trans_status == DataStatus.PROCESSED))]
+            return out
+        return _process
+
     def example_to_input(self, batch_of_data, mode):
         raise NotImplementedError(
             "Joint ASR+ST batching is not implemented (parity: the "

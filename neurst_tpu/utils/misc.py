@@ -87,3 +87,29 @@ class Timer(object):
 
     def __exit__(self, *args):
         self.elapsed = time.perf_counter() - self.start
+
+
+def download_with_tqdm(url: str, filename: str):
+    """Downloads `url` to `filename` with a progress bar when tqdm is
+    available (parity: /root/reference/neurst/utils/misc.py:176-206).
+    Atomic: writes to <filename>.incomplete then renames."""
+    import urllib.request
+    tmp = filename + ".incomplete"
+    try:
+        from tqdm import tqdm
+
+        class _Bar(tqdm):
+            def update_to(self, b=1, bsize=1, tsize=None):
+                if tsize is not None:
+                    self.total = tsize
+                self.update(b * bsize - self.n)
+
+        with _Bar(unit="B", unit_scale=True, miniters=1,
+                  desc=url.split("/")[-1]) as bar:
+            urllib.request.urlretrieve(url, tmp,
+                                       reporthook=bar.update_to)
+    except ImportError:
+        logging.info("Downloading %s ...", url)
+        urllib.request.urlretrieve(url, tmp)
+    os.replace(tmp, filename)
+    return filename
