@@ -225,17 +225,30 @@ class MuSTC(RawAudioDataset):
     def __init__(self, args=None):
         super().__init__(args)
         self._trg_lang = self._args.get("trg_lang") or "de"
+        self._extraction = self._args.get("extraction")
 
     @staticmethod
     def class_or_method_args():
         return RawAudioDataset.class_or_method_args() + [
             Flag("trg_lang", dtype=Flag.TYPE.STRING, default="de",
                  help="The target translation language suffix."),
+            Flag("extraction", dtype=Flag.TYPE.STRING, default=None,
+                 help="The split to extract from the archive "
+                      "(train / dev / tst-COMMON / tst-HE); parity "
+                      "with the reference's --extraction flag."),
         ]
+
+    def _in_split(self, member_name: str) -> bool:
+        if not self._extraction:
+            return True
+        parts = member_name.replace("\\", "/").split("/")
+        return self._extraction in parts
 
     def load_transcripts(self):
         import yaml as _yaml
-        members = self._read_members(".yaml", ".en", "." + self._trg_lang)
+        members = {name: data for name, data in self._read_members(
+            ".yaml", ".en", "." + self._trg_lang).items()
+            if self._in_split(name)}
         seg_yaml = None
         en_texts, trg_texts = None, None
         for name, data in members.items():
@@ -267,46 +280,45 @@ class MuSTC(RawAudioDataset):
 
         def gen():
             idx = 0
-            with tarfile.open(self._input_tarball, "r|*") as tar:
-                for member in tar:
-                    if not member.isfile():
-                        continue
-                    key = os.path.basename(member.name)
-                    seg_ids = (wav_to_segments.get(key)
-                               or wav_to_segments.get(member.name)
-                               or wav_to_segments.get(
-                                   os.path.splitext(key)[0]))
-                    if not seg_ids:
-                        continue
-                    data = tar.extractfile(member).read()
-                    from neurst_tpu.data.audio.wav_io import decode_audio
-                    waveform, rate = decode_audio(
-                        data, os.path.splitext(member.name)[1])
-                    for si in seg_ids:
-                        seg = self._segments[si]
-                        if total_shards > 1 \
-                                and idx % total_shards != shard_id:
-                            idx += 1
-                            continue
+            for name, read in self._iter_archive():
+                if not self._in_split(name):
+                    continue
+                key = os.path.basename(name)
+                seg_ids = (wav_to_segments.get(key)
+                           or wav_to_segments.get(name)
+                           or wav_to_segments.get(
+                               os.path.splitext(key)[0]))
+                if not seg_ids:
+                    continue
+                data = read()
+                from neurst_tpu.data.audio.wav_io import decode_audio
+                waveform, rate = decode_audio(
+                    data, os.path.splitext(name)[1])
+                for si in seg_ids:
+                    seg = self._segments[si]
+                    if total_shards > 1 \
+                            and idx % total_shards != shard_id:
                         idx += 1
-                        start = int(seg["offset"] * rate)
-                        stop = start + int(seg["duration"] * rate)
-                        clip = waveform[start:stop]
-                        if self._feature_extractor is not None:
-                            feats = self._feature_extractor(clip, rate)
-                            example = {
-                                "audio":
-                                    feats.reshape(-1).astype(np.float32),
-                                "audio_length": feats.shape[0]}
-                        else:
-                            example = {"audio": clip.astype(np.float32),
-                                       "audio_length": len(clip)}
-                        example["transcript"] = seg["transcript"]
-                        example["translation"] = seg["translation"]
-                        if map_func is not None:
-                            example = map_func(example)
-                        if example is not None:
-                            yield example
+                        continue
+                    idx += 1
+                    start = int(seg["offset"] * rate)
+                    stop = start + int(seg["duration"] * rate)
+                    clip = waveform[start:stop]
+                    if self._feature_extractor is not None:
+                        feats = self._feature_extractor(clip, rate)
+                        example = {
+                            "audio":
+                                feats.reshape(-1).astype(np.float32),
+                            "audio_length": feats.shape[0]}
+                    else:
+                        example = {"audio": clip.astype(np.float32),
+                                   "audio_length": len(clip)}
+                    example["transcript"] = seg["transcript"]
+                    example["translation"] = seg["translation"]
+                    if map_func is not None:
+                        example = map_func(example)
+                    if example is not None:
+                        yield example
         return gen
 
 

@@ -130,3 +130,40 @@ translation_data_pipeline.params:
         assert np.asarray(ex["translation"]).dtype.kind == "i"
         assert len(np.asarray(ex["transcript"])) > 0
         assert len(np.asarray(ex["translation"])) > 0
+
+
+def test_mustc_extraction_split(tmp_path):
+    """The MuSTC adapter's --extraction flag selects one split from an
+    archive holding several (parity: reference must-c recipes)."""
+    import tarfile
+    import yaml as _yaml
+    from neurst_tpu.data.datasets.dataset import build_dataset
+
+    wav = _make_wav_bytes(num_samples=32000, seed=7)  # 2 s @ 16k
+    path = tmp_path / "MUSTC_v1.0_en-de.tar.gz"
+    with tarfile.open(path, "w:gz") as tar:
+        def add(name, data):
+            import io as _io
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tar.addfile(info, _io.BytesIO(data))
+        for split, text in (("train", "hello"), ("dev", "goodbye")):
+            segs = [{"wav": f"{split}.wav", "offset": 0.0,
+                     "duration": 1.0, "speaker_id": "s"}]
+            add(f"en-de/data/{split}/wav/{split}.wav", wav)
+            add(f"en-de/data/{split}/txt/{split}.yaml",
+                _yaml.safe_dump(segs).encode())
+            add(f"en-de/data/{split}/txt/{split}.en",
+                f"{text} en\n".encode())
+            add(f"en-de/data/{split}/txt/{split}.de",
+                f"{text} de\n".encode())
+    for split, text in (("train", "hello"), ("dev", "goodbye")):
+        ds = build_dataset({
+            "dataset.class": "MuSTC",
+            "dataset.params": {"input_tarball": str(path),
+                               "trg_lang": "de",
+                               "extraction": split}})
+        examples = list(ds.build_iterator()())
+        assert len(examples) == 1
+        assert examples[0]["transcript"] == f"{text} en"
+        assert examples[0]["translation"] == f"{text} de"
