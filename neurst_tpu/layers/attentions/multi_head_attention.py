@@ -124,12 +124,19 @@ class MultiHeadSelfAttention(MultiHeadAttention):
 
     def __call__(self, query, bias=None, cache=None, decode_step=None,
                  is_training=False, flash_lengths=None,
-                 flash_causal=False):
+                 flash_causal=False, ring_axis=None, ring_lengths=None):
         """Self-attention over `query` [B, F, D].
 
         With ``flash_lengths`` (and no cache), the Pallas flash kernel
         computes the attention (padding via lengths; optional causal),
         never materializing the [F, T] probability matrix in HBM.
+
+        With ``ring_axis`` (and no cache), the time axis is treated as
+        sharded over that mesh axis and attention runs as a
+        sequence-parallel ring (kv shards rotate over ICI; see
+        neurst_tpu/ops/ring_attention.py) — sequences longer than one
+        chip's HBM.  Differentiable (the ring is a scan), so it serves
+        training and encoding alike.
 
         Incremental mode (``decode_step`` is not None): query is
         [B, 1, D]; `cache` {"keys"/"values": [B, max_len, N, H]} is
@@ -140,6 +147,12 @@ class MultiHeadSelfAttention(MultiHeadAttention):
         """
         qkv = self.qkv_transform(query)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if cache is None and ring_axis is not None:
+            from neurst_tpu.ops.ring_attention import ring_self_attention
+            out = ring_self_attention(q, k, v, seq_axis=ring_axis,
+                                      lengths=ring_lengths,
+                                      causal=flash_causal)
+            return self.output_transform(out), cache
         if cache is None and flash_lengths is not None \
                 and not is_training:
             # inference only: the pallas kernel defines no AD rule

@@ -44,6 +44,8 @@ class TransformerEncoder(nn.Module):
     layer_postprocess_epsilon: float = 1e-6
     attention_monotonic: bool = False
     enable_flash_attention: bool = False
+    enable_ring_attention: bool = False
+    ring_attention_axis: str = "data"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -68,8 +70,19 @@ class TransformerEncoder(nn.Module):
     def __call__(self, inputs, inputs_padding, is_training=False):
         """inputs [B, T, D]; inputs_padding [B, T] float (1=pad)."""
         flash_lengths = None
+        ring_axis = None
+        ring_lengths = None
         bias = None
-        if self.enable_flash_attention:
+        if self.enable_ring_attention:
+            # sequence parallelism: the time axis is sharded over
+            # `ring_attention_axis` of the ambient mesh; attention runs
+            # as a kv ring over ICI (beyond-reference capability,
+            # SURVEY.md §5).  Padding is contiguous-on-the-right, so
+            # per-row valid lengths encode it globally.
+            ring_axis = self.ring_attention_axis
+            ring_lengths = jnp.sum(
+                1.0 - inputs_padding, axis=1).astype(jnp.int32)
+        elif self.enable_flash_attention:
             # padding is contiguous-on-the-right in this framework, so
             # a per-row valid length fully encodes it for the kernel
             flash_lengths = jnp.sum(
@@ -83,7 +96,8 @@ class TransformerEncoder(nn.Module):
         for layer in self.layers:
             x = layer(x, bias, is_training=is_training,
                       flash_lengths=flash_lengths,
-                      flash_causal=self.attention_monotonic)
+                      flash_causal=self.attention_monotonic,
+                      ring_axis=ring_axis, ring_lengths=ring_lengths)
         if not self.post_normalize:
             x = self.output_ln(x)
         return x

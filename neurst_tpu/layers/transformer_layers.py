@@ -80,13 +80,16 @@ class TransformerEncoderLayer(_LayerCommon):
         self.ffn_ln = self._make_ln("ffn_ln")
 
     def __call__(self, x, attention_bias, is_training=False,
-                 flash_lengths=None, flash_causal=False):
+                 flash_lengths=None, flash_causal=False,
+                 ring_axis=None, ring_lengths=None):
         x, _ = self._prepost(
             self.self_attention_ln, x,
             lambda y: self.self_attention(y, bias=attention_bias,
                                           is_training=is_training,
                                           flash_lengths=flash_lengths,
-                                          flash_causal=flash_causal),
+                                          flash_causal=flash_causal,
+                                          ring_axis=ring_axis,
+                                          ring_lengths=ring_lengths),
             is_training)
         x, _ = self._prepost(
             self.ffn_ln, x,

@@ -65,6 +65,17 @@ def _encdec_flags(prefix):
                       help="Use the Pallas flash-attention kernel for "
                            "encoder self-attention (memory-light for "
                            "long audio)."))
+        f.append(Flag("encoder.enable_ring_attention",
+                      dtype=Flag.TYPE.BOOLEAN, default=None,
+                      help="Sequence-parallel encoder self-attention: "
+                           "the time axis is sharded over a mesh axis "
+                           "and kv shards rotate over ICI (for audio "
+                           "longer than one chip's HBM). Requires "
+                           "running under `with mesh:`."))
+        f.append(Flag("encoder.ring_attention_axis",
+                      dtype=Flag.TYPE.STRING, default="data",
+                      help="The mesh axis the sequence is sharded over "
+                           "when encoder.enable_ring_attention is on."))
     return f
 
 

@@ -89,23 +89,38 @@ def _ring_kernel(q, k, v, lengths, axis_name: str, causal: bool):
     return out.transpose(0, 2, 1, 3).astype(q.dtype)      # [B, T, N, H]
 
 
-def ring_self_attention(q, k, v, mesh: Mesh, seq_axis: str = "data",
+def ring_self_attention(q, k, v, mesh: Optional[Mesh] = None,
+                        seq_axis: str = "data",
                         lengths: Optional[jnp.ndarray] = None,
                         causal: bool = False):
     """Attention with the sequence dim sharded over `seq_axis`.
 
     q/k/v: [B, T, N, H] with T divisible by the axis size; `lengths` [B]
     marks valid key positions (global).  Returns [B, T, N, H] with the
-    same sharding.
+    same sharding.  With ``mesh=None`` the ambient mesh (the enclosing
+    ``with mesh:`` block, e.g. the trainer's) is used — this is how the
+    encoder's ``enable_ring_attention`` flag reaches the op.
     """
+    if mesh is None:
+        from jax._src.mesh import thread_resources
+        mesh = thread_resources.env.physical_mesh
+        if mesh.empty:
+            raise ValueError(
+                "ring_self_attention needs a device mesh: call under "
+                "`with mesh:` or pass mesh= explicitly")
     if lengths is None:
         lengths = jnp.full((q.shape[0],), q.shape[1], jnp.int32)
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+        rep_kw = {"check_vma": False}
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+        rep_kw = {"check_rep": False}
     fn = shard_map(
         functools.partial(_ring_kernel, axis_name=seq_axis, causal=causal),
         mesh=mesh,
         in_specs=(P(None, seq_axis), P(None, seq_axis), P(None, seq_axis),
                   P()),
         out_specs=P(None, seq_axis),
-        check_rep=False)
+        **rep_kw)
     return fn(q, k, v, lengths.astype(jnp.int32))
