@@ -140,6 +140,14 @@ def run_experiment(args):
     if args.get("enable_check_numerics"):
         import jax
         jax.config.update("jax_debug_nans", True)
+    # quantization config must be global before any module is built
+    # (parity: reference run_exp.py:87-90 QuantLayer.global_init)
+    from neurst_tpu.layers.quantization.quant_layers import global_init
+    qp = args.get("quant_params")
+    if isinstance(qp, str):
+        import yaml as _yaml
+        qp = _yaml.safe_load(qp)
+    global_init(bool(args.get("enable_quant")), **(qp or {}))
     task = build_task(args)
     custom_dataset = build_dataset(args) if args.get("dataset.class") \
         else None

@@ -263,20 +263,20 @@ class Trainer(BaseExperiment):
             lambda s: s, out_shardings=state_shardings)(state)
 
         update_cycle = int(args.get("update_cycle") or 1)
-        params_transform = None
+        extra_loss_fn = None
         if args.get("enable_quant"):
-            from neurst_tpu.layers.quantization.quant_ops import \
-                quantize_params_fn
-            import yaml as _yaml
-            qp = args.get("quant_params")
-            if isinstance(qp, str):
-                qp = _yaml.safe_load(qp)
-            params_transform = quantize_params_fn(True, qp)
-            logging.info("Quantization-aware training enabled: %s", qp)
+            # the layers quantize themselves (learned clip-max vars,
+            # built under quant_layers.global_init from run_exp); here
+            # we only add the reference's L2 penalty on the clip vars
+            from neurst_tpu.layers.quantization.quant_layers import \
+                clip_l2_penalty
+            extra_loss_fn = clip_l2_penalty
+            logging.info("Quantization-aware training enabled (learned "
+                         "clip-max fake quantization)")
         train_step = make_train_step(model, criterion, tx,
                                      update_cycle=update_cycle,
                                      lr_schedule=lr_schedule,
-                                     params_transform=params_transform,
+                                     extra_loss_fn=extra_loss_fn,
                                      remat=bool(args.get("gradient_remat")))
         # batch shardings are inherited from put_batch's placement (the
         # batch may contain 0-d fields, e.g. waitk_lagging, which are

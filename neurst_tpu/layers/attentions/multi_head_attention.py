@@ -62,8 +62,12 @@ class MultiHeadAttention(nn.Module):
         return self.output_depth or self.num_units
 
     def _proj(self, name, n_proj, depth):
-        """Fused projection -> [B, L, n_proj, heads, depth // heads]."""
-        return nn.DenseGeneral(
+        """Fused projection -> [B, L, n_proj, heads, depth // heads].
+        Uses the QAT dense when --enable_quant is on (learned clip-max
+        fake quantization of kernel + output)."""
+        from neurst_tpu.layers.quantization.quant_layers import \
+            dense_general
+        return dense_general(
             features=(n_proj, self.num_heads, depth // self.num_heads),
             dtype=self.dtype, name=name,
             kernel_init=nn.with_partitioning(
@@ -72,7 +76,9 @@ class MultiHeadAttention(nn.Module):
             bias_init=nn.initializers.zeros)
 
     def _out_proj(self):
-        return nn.DenseGeneral(
+        from neurst_tpu.layers.quantization.quant_layers import \
+            dense_general
+        return dense_general(
             features=self.out_depth, axis=(-2, -1),
             dtype=self.dtype, name="output_transform",
             kernel_init=nn.with_partitioning(

@@ -101,19 +101,27 @@ class TransformerFFN(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.dense1 = nn.Dense(
+        from neurst_tpu.layers.quantization.quant_layers import (
+            dense_general, quant_enabled)
+        self._quant = quant_enabled()
+        self.dense1 = dense_general(
             self.filter_size, dtype=self.dtype, name="dense1",
+            activation=self.activation,
             kernel_init=nn.with_partitioning(
                 nn.initializers.lecun_normal(), ("embed", "mlp")),
             bias_init=nn.initializers.zeros)
-        self.dense2 = nn.Dense(
+        self.dense2 = dense_general(
             self.output_size, dtype=self.dtype, name="dense2",
             kernel_init=nn.with_partitioning(
                 nn.initializers.lecun_normal(), ("mlp", "embed")),
             bias_init=nn.initializers.zeros)
 
     def __call__(self, x, is_training: bool = False):
-        h = activation_by_name(self.activation)(self.dense1(x))
+        h = self.dense1(x)
+        if not self._quant:
+            # under QAT the quantized dense applies (and quantizes)
+            # the activation itself, reference-style
+            h = activation_by_name(self.activation)(h)
         h = apply_dropout(self, h, self.dropout_rate, is_training)
         return self.dense2(h)
 

@@ -1,0 +1,213 @@
+# Copyright 2026 The NeurST-TPU Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+"""Quantization-aware training with learned clip-max variables.
+
+Parity: /root/reference/neurst/layers/quantization/quant_layers.py:18-207
+— min/max fake quantization (Jacob et al., arXiv:1712.05877) driven by a
+process-global config (``--enable_quant --quant_params``):
+
+  * every quantized weight gets a trainable scalar ``<name>_clip_max``
+    (init ``quant_weight_clip_max``); the symmetric minimum is
+    ``-max * B / (B - 1)`` with ``B = 2^(bits-1)``;
+  * every quantized activation gets a trainable ``<name>_clip_max``
+    (init ``quant_act_clip_max``); relu outputs clip at [0, max],
+    softmax outputs use the fixed range [0, (2^b - 1) / 2^b];
+  * straight-through gradients: the rounding is invisible to autodiff,
+    the clip boundaries pass gradient to the clip variables.
+
+TPU-first shape: the quantizers live inside ``QuantDenseGeneral`` (an
+einsum dense that keeps flax's kernel/bias names, shapes and partition
+annotations, so checkpoints and converters are unaffected); construction
+sites pick it over ``nn.DenseGeneral`` when the global config is on.
+The reference's L2 regularizers on the clip variables (0.001 weights /
+0.01 activations) are reproduced by ``clip_l2_penalty`` added to the
+training loss.
+"""
+
+import logging
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+__all__ = ["global_init", "get_global_config", "quant_enabled",
+           "fake_quant_minmax", "QuantDenseGeneral", "dense_general",
+           "clip_l2_penalty"]
+
+_CONFIG = {
+    "enable_quant": False,
+    "quant_strategy": "min/max",
+    "quant_bits": 8,
+    "quant_weight_clip_max": 1.0,
+    "quant_act_clip_max": 16.0,
+}
+
+
+def global_init(enable_quant, quant_strategy="min/max", quant_bits=8,
+                quant_weight_clip_max=1.0, quant_act_clip_max=16.0,
+                **kwargs):
+    """Sets the process-global quantization config (parity:
+    QuantLayer.global_init, quant_layers.py:27-49).  Must run before
+    the model is built (both init and apply see the same config)."""
+    _CONFIG["enable_quant"] = bool(enable_quant)
+    if enable_quant:
+        if quant_strategy != "min/max":
+            raise ValueError(
+                "Only min/max quantization is supported currently.")
+        _CONFIG["quant_strategy"] = quant_strategy
+        _CONFIG["quant_bits"] = int(quant_bits)
+        _CONFIG["quant_weight_clip_max"] = float(quant_weight_clip_max)
+        _CONFIG["quant_act_clip_max"] = float(quant_act_clip_max)
+        logging.info("Enable min/max quantization: bits=%d "
+                     "weight_clip_max=%s act_clip_max=%s", quant_bits,
+                     quant_weight_clip_max, quant_act_clip_max)
+    if kwargs:
+        logging.info("Unknown args of quantization: %s", kwargs)
+
+
+def get_global_config():
+    return dict(_CONFIG)
+
+
+def quant_enabled() -> bool:
+    return bool(_CONFIG["enable_quant"])
+
+
+def fake_quant_minmax(x, clip_min, clip_max, bits: int):
+    """Uniform fake quantization over [clip_min, clip_max] with
+    straight-through gradients (rounding transparent; clip boundaries
+    pass gradient to the clip variables, matching
+    tf.fake_quant_with_min_max_vars)."""
+    x32 = x.astype(jnp.float32)
+    clip_min = jnp.asarray(clip_min, jnp.float32)
+    clip_max = jnp.asarray(clip_max, jnp.float32)
+    scale = (clip_max - clip_min) / float(2 ** bits - 1)
+    scale = jnp.maximum(scale, 1e-9)
+    clipped = jnp.clip(x32, clip_min, clip_max)
+    q = jnp.round((clipped - clip_min) / scale) * scale + clip_min
+    return (clipped + jax.lax.stop_gradient(q - clipped)).astype(x.dtype)
+
+
+def _weight_quant(module: nn.Module, w, name: str):
+    cfg = _CONFIG
+    clip = module.param(
+        f"{name}_clip_max",
+        lambda key: jnp.asarray(cfg["quant_weight_clip_max"], jnp.float32))
+    cmax = jnp.maximum(clip, 0.0)
+    bits_tmp = float(2 ** (cfg["quant_bits"] - 1))
+    cmin = -cmax * bits_tmp / (bits_tmp - 1.0)
+    return fake_quant_minmax(w, cmin, cmax, cfg["quant_bits"])
+
+
+def _act_quant(module: nn.Module, x, name: str, activation: str):
+    cfg = _CONFIG
+    bits = cfg["quant_bits"]
+    if activation == "softmax":
+        cmax = float(2 ** bits - 1) / float(2 ** bits)
+        return fake_quant_minmax(x, 0.0, cmax, bits)
+    clip = module.param(
+        f"{name}_clip_max",
+        lambda key: jnp.asarray(cfg["quant_act_clip_max"], jnp.float32))
+    cmax = jnp.maximum(clip, 0.0)
+    if activation == "relu":
+        cmin = 0.0
+    else:  # generic activation: symmetric
+        bits_tmp = float(2 ** (bits - 1))
+        cmin = -cmax * bits_tmp / (bits_tmp - 1.0)
+    return fake_quant_minmax(x, cmin, cmax, bits)
+
+
+class QuantDenseGeneral(nn.Module):
+    """Einsum dense with weight + output-activation fake quantization.
+
+    Drop-in for the two ``nn.DenseGeneral`` configurations this
+    framework uses (last-axis projection to a feature tuple, and
+    (-2, -1)-axis contraction to a scalar feature), with identical
+    kernel/bias parameter names, shapes and partition metadata."""
+
+    features: Union[int, Tuple[int, ...]]
+    axis: Union[int, Tuple[int, ...]] = -1
+    use_bias: bool = True
+    activation: Optional[str] = None   # for activation-quant semantics
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        axis = self.axis if isinstance(self.axis, tuple) else (self.axis,)
+        axis = tuple(a % x.ndim for a in axis)
+        features = self.features if isinstance(self.features, tuple) \
+            else (self.features,)
+        in_shape = tuple(x.shape[a] for a in axis)
+        kernel = self.param("kernel", self.kernel_init,
+                            in_shape + features, jnp.float32)
+        kernel = _weight_quant(self, jnp.asarray(kernel), "kernel")
+        batch_dims = tuple(i for i in range(x.ndim) if i not in axis)
+        y = jax.lax.dot_general(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            (((*axis,), tuple(range(len(axis)))), ((), ())))
+        # dot_general orders outputs as batch_dims + features
+        del batch_dims
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, features,
+                              jnp.float32)
+            y = y + jnp.asarray(bias, self.dtype)
+        if self.activation and self.activation != "linear":
+            from neurst_tpu.layers.common_layers import activation_by_name
+            y = activation_by_name(self.activation)(y)
+        kind = self.activation if self.activation in ("relu", "softmax") \
+            else "act"
+        y = _act_quant(self, y, "output", kind)
+        return y
+
+
+def dense_general(features, axis=-1, use_bias=True, activation=None,
+                  kernel_init=None, bias_init=None, dtype=jnp.float32,
+                  name=None):
+    """Factory: a quantized dense when the global config is on, a plain
+    flax DenseGeneral otherwise (zero risk / zero cost when off)."""
+    kernel_init = kernel_init or nn.initializers.lecun_normal()
+    bias_init = bias_init or nn.initializers.zeros
+    if quant_enabled():
+        if isinstance(features, Sequence) and not isinstance(features, tuple):
+            features = tuple(features)
+        return QuantDenseGeneral(
+            features=features, axis=axis, use_bias=use_bias,
+            activation=activation, kernel_init=kernel_init,
+            bias_init=bias_init, dtype=dtype, name=name)
+    # plain path: any activation stays with the caller, exactly as
+    # before quantization existed
+    return nn.DenseGeneral(
+        features=features, axis=axis, use_bias=use_bias,
+        kernel_init=kernel_init, bias_init=bias_init, dtype=dtype,
+        name=name)
+
+
+def clip_l2_penalty(params) -> jnp.ndarray:
+    """L2 regularization of the learned clip variables (parity:
+    quant_layers.py regularizers — 0.001 on weight clips, 0.01 on
+    activation clips)."""
+    from neurst_tpu.utils.checkpoints import flatten_params
+    total = jnp.zeros([], jnp.float32)
+    for name, v in flatten_params(params).items():
+        if name.endswith("kernel_clip_max"):
+            total = total + 1e-3 * jnp.square(
+                jnp.asarray(v, jnp.float32))
+        elif name.endswith("output_clip_max"):
+            total = total + 1e-2 * jnp.square(
+                jnp.asarray(v, jnp.float32))
+    return total

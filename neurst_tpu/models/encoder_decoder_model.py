@@ -80,7 +80,9 @@ class Seq2SeqModule(nn.Module):
         self.encoder = self.build_encoder()
         self.decoder = self.build_decoder()
         if not self.share_embedding_and_softmax_weights:
-            self.output_linear = nn.Dense(
+            from neurst_tpu.layers.quantization.quant_layers import \
+                dense_general
+            self.output_linear = dense_general(
                 self.trg_vocab_size, use_bias=False, dtype=self.dtype,
                 name="output_linear",
                 kernel_init=nn.with_partitioning(

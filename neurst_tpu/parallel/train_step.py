@@ -49,13 +49,16 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
                     update_cycle: int = 1,
                     lr_schedule: Optional[Callable] = None,
                     params_transform: Optional[Callable] = None,
+                    extra_loss_fn: Optional[Callable] = None,
                     remat: bool = False):
     """Builds ``train_step(state, batch, rng) -> (state, metrics)``.
 
     With ``update_cycle > 1`` every array in `batch` must have leading
     shape [update_cycle, micro_batch, ...].  ``params_transform`` (e.g.
-    QAT fake-quantization) is applied to the parameters inside the loss
-    with straight-through gradients.
+    post-training fake-quantization) is applied to the parameters
+    inside the loss with straight-through gradients; ``extra_loss_fn``
+    adds a params-dependent regularizer (e.g. the QAT clip-max L2
+    penalty) to the loss.
     """
 
     def _forward(params, batch, rng):
@@ -70,7 +73,10 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
     def loss_fn(params, batch, rng):
         if params_transform is not None:
             params = params_transform(params)
-        return _forward(params, batch, rng)
+        loss = _forward(params, batch, rng)
+        if extra_loss_fn is not None:
+            loss = loss + extra_loss_fn(params)
+        return loss
 
     def compute_grads(params, batch, rng):
         if update_cycle == 1:

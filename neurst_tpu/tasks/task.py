@@ -48,13 +48,24 @@ class Task(object):
         return {}
 
     def model_configs(self, model) -> dict:
-        """Snapshot of everything needed to rebuild task+model."""
-        return {
+        """Snapshot of everything needed to rebuild task+model —
+        including the quantization state (parity: reference
+        task.py:36-44), so inference rebuilds the QAT layer structure
+        that matches the checkpoint."""
+        cfg = {
             "task.class": type(self).__name__,
             "task.params": self.get_config(),
             "model.class": type(model).__name__,
             "model.params": model.args,
         }
+        from neurst_tpu.layers.quantization.quant_layers import (
+            get_global_config, quant_enabled)
+        if quant_enabled():
+            qcfg = get_global_config()
+            qcfg.pop("enable_quant", None)
+            cfg["enable_quant"] = True
+            cfg["quant_params"] = qcfg
+        return cfg
 
     def build_model(self, args, name=None, **kwargs):
         raise NotImplementedError
