@@ -80,6 +80,19 @@ class GenerationExporter(BaseExperiment):
         with open(os.path.join(export_path, "generation.stablehlo.mlir"),
                   "w") as f:
             f.write(stablehlo)
+        # a serialized jax.export artifact rides along too: unlike the
+        # raw MLIR text it is directly reloadable
+        # (jax.export.deserialize(...).call(params, inp)) with the
+        # calling convention and pytree structure preserved — the
+        # TPU-native analogue of a servable SavedModel signature
+        try:
+            from jax import export as jax_export
+            exported = jax_export.export(fn)(params, example)
+            with open(os.path.join(export_path, "generation.jaxexport.bin"),
+                      "wb") as f:
+                f.write(exported.serialize())
+        except Exception as e:  # pragma: no cover - version-dependent
+            logging.warning("jax.export serialization skipped: %s", e)
         # checkpoint + configs ride along so the export dir is
         # self-contained (parity: savedmodel + model_configs.yml copy)
         ckpt_lib.save_checkpoint(export_path, 0, params, max_to_keep=None)
