@@ -13,10 +13,10 @@
 # limitations under the License.
 """Waveform decoding without external audio libraries.
 
-WAV (PCM 8/16/24/32-bit and IEEE float) decodes natively via the
-stdlib + numpy; other formats (flac/mp3/sph) need decoders that are not
-present in this environment and raise with a clear message, matching
-the reference's delegation to soundfile/pydub
+WAV (PCM 8/16/24/32-bit and IEEE float), FLAC (flac_io) and NIST
+SPHERE (sph_io) decode natively; mp3 probes host backends (mp3_io)
+and raises with a clear remedy when none exists — covering the same
+format matrix the reference delegates to soundfile/pydub
 (/root/reference/neurst/data/datasets/audio/audio_dataset.py:147-193).
 """
 
@@ -107,6 +107,12 @@ def decode_audio(data: bytes, fmt: str) -> Tuple[np.ndarray, int]:
     if fmt == "flac":
         from neurst_tpu.data.audio.flac_io import decode_flac
         return decode_flac(data)
+    if fmt in ("sph", "sphere", "nist"):
+        from neurst_tpu.data.audio.sph_io import decode_sph
+        return decode_sph(data)
+    if fmt == "mp3":
+        from neurst_tpu.data.audio.mp3_io import decode_mp3
+        return decode_mp3(data)
     raise NotImplementedError(
-        f"No decoder for '{fmt}' in this environment (wav/flac; "
-        f"mp3/sph corpora must be converted or pre-extracted first).")
+        f"No decoder for '{fmt}' in this environment "
+        f"(wav/flac/sph native; mp3 via ffmpeg/torchaudio when present).")

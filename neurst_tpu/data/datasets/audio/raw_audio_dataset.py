@@ -354,7 +354,7 @@ class CommonVoice(RawAudioDataset):
 class TedLium(RawAudioDataset):
     """TED-LIUM release archives (parity: audio/tedlium.py): STM
     transcript files reference sph audio segments by (start, end);
-    convert sph->wav for this environment."""
+    sph decodes natively (sph_io.py), wav/flac also accepted."""
 
     def load_transcripts(self):
         out = {}
