@@ -1,0 +1,184 @@
+"""Operational-path coverage: trainer resume-from-checkpoint, pruning
+inside the Trainer loop, multi-dataset predict, and the cascade_st CLI
+(weak spots named in round-1 review; parity anchors cited per test).
+"""
+
+import logging
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TRAIN_YML = "tests/examples/example_train_seq2seq.yml"
+
+
+def _train(tmp_path, model_dir, extra):
+    from neurst_tpu.cli.run_exp import cli_main
+    os.chdir(REPO)
+    cli_main(["--entry", "train", "--config_paths", TRAIN_YML,
+              "--model_dir", model_dir] + extra)
+
+
+@pytest.mark.slow
+def test_trainer_resumes_from_checkpoint(tmp_path, caplog):
+    """Stopping at step 30 and re-running to 60 must resume from the
+    checkpoint (parity: reference trainer.py:147-178 restore +
+    compat.hack_global_step), not retrain from scratch."""
+    model_dir = str(tmp_path / "model")
+    _train(tmp_path, model_dir,
+           ["--train_steps", "30", "--save_checkpoint_steps", "30",
+            "--summary_steps", "10"])
+    assert os.path.exists(os.path.join(model_dir, "ckpt-30.npz"))
+
+    with caplog.at_level(logging.INFO):
+        _train(tmp_path, model_dir,
+               ["--train_steps", "60", "--save_checkpoint_steps", "30",
+                "--summary_steps", "10"])
+    assert os.path.exists(os.path.join(model_dir, "ckpt-60.npz"))
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("Start training from step 30 to 60" in m for m in msgs), \
+        [m for m in msgs if "Start training" in m]
+
+
+@pytest.mark.slow
+def test_pruning_inside_trainer_reaches_target_sparsity(tmp_path):
+    """The pruning optimizer must run inside the real Trainer loop and
+    leave the included variables at the target sparsity in the saved
+    checkpoint (parity: reference sparsity/pruning_optimizer.py:22-128
+    + trainer.py:244-248)."""
+    model_dir = str(tmp_path / "model")
+    _train(tmp_path, model_dir,
+           ["--train_steps", "40", "--save_checkpoint_steps", "40",
+            "--summary_steps", "20",
+            "--pruning_schedule.class", "constant_sparsity",
+            "--pruning_schedule.params",
+            "{target_sparsity: 0.5, begin_pruning_step: 10, "
+            "pruning_frequency: 5}",
+            "--pruning_variable_pattern", r"ffn/dense\d/kernel"])
+    ckpt = np.load(os.path.join(model_dir, "ckpt-40.npz"))
+    pruned = [k for k in ckpt.files if "ffn/dense" in k
+              and k.endswith("kernel")]
+    assert pruned
+    for k in pruned:
+        w = ckpt[k]
+        sparsity = float((w == 0).mean())
+        assert abs(sparsity - 0.5) < 0.05, (k, sparsity)
+    # excluded variables stay dense
+    for k in ckpt.files:
+        if "attention" in k and k.endswith("kernel"):
+            assert float((ckpt[k] == 0).mean()) < 0.1, k
+
+
+@pytest.mark.slow
+def test_multi_dataset_predict(tmp_path):
+    """Predict over a MultipleDataset: per-dataset outputs/metrics plus
+    the weighted mixture (parity: reference sequence_generator.py
+    multi-dataset handling + MultipleDataset sample_weights)."""
+    from neurst_tpu.cli.run_exp import cli_main
+    model_dir = str(tmp_path / "model")
+    _train(tmp_path, model_dir,
+           ["--train_steps", "20", "--save_checkpoint_steps", "20",
+            "--summary_steps", "10"])
+
+    out = str(tmp_path / "hypo.txt")
+    metric_file = str(tmp_path / "metric.json")
+    result = cli_main(
+        ["--entry", "predict", "--model_dir", model_dir,
+         "--dataset.class", "multiple_dataset",
+         "--dataset.params", yaml.safe_dump({
+             "multiple_datasets": {
+                 "devA": {"dataset.class": "parallel_text",
+                          "dataset.params": {
+                              "src_file": "tests/examples/dev.src",
+                              "trg_file": "tests/examples/dev.trg"}},
+                 "devB": {"dataset.class": "parallel_text",
+                          "dataset.params": {
+                              "src_file": "tests/examples/dev.src",
+                              "trg_file": "tests/examples/dev.trg"}},
+             },
+             "sample_weights": {"devA": 3.0, "devB": 1.0}}),
+         "--search_method.class", "beam_search",
+         "--search_method.params",
+         "{beam_size: 2, maximum_decode_length: 20}",
+         "--metric", "bleu",
+         "--output_file", out, "--save_metric", metric_file])
+    assert set(result["datasets"]) == {"devA", "devB"}
+    for name in ("devA", "devB"):
+        assert os.path.exists(f"{out}.{name}")
+        assert len(result["datasets"][name]["hypotheses"]) == 24
+    # identical datasets -> the weighted mixture equals each BLEU
+    bleu_a = result["datasets"]["devA"]["BLEU"]
+    assert abs(result["weighted"]["BLEU"] - bleu_a) < 1e-9
+    assert os.path.exists(metric_file)
+
+
+@pytest.mark.slow
+def test_cascade_st_cli(tmp_path):
+    """ASR model -> MT model cascade through the real CLI (parity:
+    /root/reference/neurst/cli/cascade_st.py:29-50)."""
+    from neurst_tpu.cli import cascade_st
+    from neurst_tpu.cli.run_exp import cli_main
+    from neurst_tpu.data.audio.log_mel_fbank import LogMelFbank
+    from neurst_tpu.data.recordio import RecordWriter, build_example
+    os.chdir(REPO)
+
+    # ---- tiny ASR model over 16-dim fbank with the shared vocab ----
+    rng = np.random.RandomState(0)
+    fe = LogMelFbank({"nfilt": 16})
+    rec = str(tmp_path / "test.tfrecords")
+    with RecordWriter(rec) as w:
+        for _ in range(8):
+            wav = rng.randn(rng.randint(4000, 8000))
+            feat = fe(wav, 16000)
+            ids = rng.randint(4, 40, size=rng.randint(2, 6))
+            w.write(build_example({
+                "audio": feat.reshape(-1).astype(np.float32),
+                "transcript": ids.astype(np.int64)}))
+
+    asr_cfg = {
+        "task.class": "speech2text",
+        "task.params": {
+            "transcript_data_pipeline.class": "TextDataPipeline",
+            "transcript_data_pipeline.params": {
+                "vocab_path": "tests/examples/vocab.txt"},
+            "audio_feature_dim": 16,
+            "batch_size": 1024, "max_src_len": 64, "max_trg_len": 8,
+            "min_src_bucket_boundary": 32,
+            "experimental_frame_transcript_ratio": 12.0},
+        "dataset.class": "audio_tfrecord",
+        "dataset.params": {"data_path": rec},
+        "hparams_set": "speech_transformer_toy",
+        "dtype": "float32",
+        "entry.params": {
+            "criterion.class": "label_smoothed_cross_entropy",
+            "lr_schedule.class": "constant",
+            "lr_schedule.params": {"learning_rate": 1e-3},
+            "train_steps": 4, "summary_steps": 4,
+            "save_checkpoint_steps": 4},
+    }
+    asr_yml = tmp_path / "asr.yml"
+    asr_yml.write_text(yaml.safe_dump(asr_cfg))
+    asr_dir = str(tmp_path / "asr_model")
+    cli_main(["--entry", "train", "--config_paths", str(asr_yml),
+              "--model_dir", asr_dir])
+
+    # ---- tiny MT model on the text fixtures (same vocab) ----
+    mt_dir = str(tmp_path / "mt_model")
+    _train(tmp_path, mt_dir,
+           ["--train_steps", "10", "--save_checkpoint_steps", "10",
+            "--summary_steps", "10"])
+
+    refs = tmp_path / "refs.txt"
+    refs.write_text("\n".join(["tok1 tok2"] * 8) + "\n")
+    out = str(tmp_path / "cascade_out.txt")
+    cascade_st.main([
+        "--asr_model_dir", asr_dir, "--mt_model_dir", mt_dir,
+        "--dataset", "audio_tfrecord", "--data_path", rec,
+        "--batch_size", "1024", "--asr_beam_size", "2",
+        "--mt_beam_size", "2", "--maximum_decode_length", "12",
+        "--output_file", out, "--ref_file", str(refs)])
+    lines = open(out).read().splitlines()
+    assert len(lines) == 8
