@@ -39,11 +39,54 @@ from neurst_tpu.utils.simuleval_agents.simul_trans_text_agent import (
     SimulTransTextAgent, average_lagging)
 
 
+def run_online(agent, task, hostname, port):
+    """Evaluates against an external SimulEval v1 server (parity:
+    reference simuleval_cli.py start_client loop): READ pulls source
+    units from GET /src, WRITE pushes units via PUT /hypo, and the
+    server computes quality+latency, returned from GET /result."""
+    from neurst_tpu.utils.simuleval_agents.online_client import (
+        DEFAULT_EOS, SimulEvalClient)
+    client = SimulEvalClient(hostname, port)
+    info = client.corpus_info()
+    n = int(info["num_sentences"])
+    src_pipeline = task.src_pipeline
+    trg_pipeline = task.trg_pipeline
+    trg_meta = trg_pipeline.meta
+    for i in range(n):
+        def read_fn(instance=i):
+            seg = client.get_source(instance)["segment"]
+            if seg == DEFAULT_EOS or seg == "":
+                return None
+            # drop the sentence-final eos our pipeline appends: units
+            # stream in one segment at a time
+            return src_pipeline.encode(seg)[:-1]
+
+        def on_write(token_id, instance=i):
+            client.send_hypo(
+                instance,
+                trg_pipeline.decode([token_id, trg_meta["eos_id"]]))
+
+        agent.translate_stream(read_fn, eos_id=trg_meta["eos_id"],
+                               bos_id=trg_meta.get("bos_id"),
+                               on_write=on_write)
+        client.send_hypo(i, DEFAULT_EOS)
+    scores = client.get_scores()
+    logging.info("SimulEval server scores: %s", scores)
+    print(scores)
+    return scores
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     p = argparse.ArgumentParser(description="Simultaneous MT evaluation.")
     p.add_argument("--model_dir", required=True)
-    p.add_argument("--src_file", required=True)
+    p.add_argument("--src_file", default=None,
+                   help="Offline mode: source sentences (built-in "
+                        "simulator).")
+    p.add_argument("--hostname", default=None,
+                   help="Online mode: SimulEval server hostname.")
+    p.add_argument("--port", type=int, default=12321,
+                   help="Online mode: SimulEval server port.")
     p.add_argument("--ref_file", default=None)
     p.add_argument("--wait_k", type=int, default=None,
                    help="Override the decode-time lagging.")
@@ -62,6 +105,12 @@ def main(argv=None):
         logging.info("Restored %s", path)
     agent = SimulTransTextAgent(model, params, k=args.wait_k,
                                 max_decode_len=args.max_decode_len)
+
+    if args.hostname:
+        return run_online(agent, task, args.hostname, args.port)
+    if not args.src_file:
+        p.error("either --src_file (offline) or --hostname (online) "
+                "is required")
 
     src_pipeline = task.src_pipeline
     trg_pipeline = task.trg_pipeline

@@ -85,20 +85,47 @@ class SimulTransTextAgent(object):
                   bos_id: Optional[int] = None):
         """Returns (output_ids, delays): delays[i] = #src tokens read
         before emitting output i."""
+        it = iter(src_ids)
+
+        def read_fn():
+            try:
+                return [next(it)]
+            except StopIteration:
+                return None
+
+        return self.translate_stream(read_fn, eos_id, bos_id=bos_id)
+
+    def translate_stream(self, read_fn, eos_id: int,
+                         bos_id: Optional[int] = None, on_write=None):
+        """Streaming form for online (SimulEval-style) evaluation.
+
+        ``read_fn()`` supplies the next source segment as a list of
+        token ids, or None once the source is exhausted (parity:
+        reference simul_trans_text_agent.py policy/predict READ-WRITE
+        loop against simuleval states).  ``on_write(token_id)`` is
+        called for every emitted unit.  Returns (output_ids, delays).
+        """
         import jax.numpy as jnp
         bos = bos_id if bos_id is not None else eos_id
         n_read, cache = 0, None
+        src_ids: List[int] = []
         out_ids: List[int] = []
         delays: List[int] = []
         last_id = bos
-        src_len = len(src_ids)
+        exhausted = False
         while len(out_ids) < self._max_decode_len:
-            action = self.policy(n_read, len(out_ids),
-                                 n_read >= src_len, False)
+            action = self.policy(n_read, len(out_ids), exhausted, False)
             if cache is None:
                 action = READ  # must encode something before writing
-            if action == READ:
-                n_read += 1
+            if action == READ and not exhausted:
+                segment = read_fn()
+                if segment is None:
+                    exhausted = True
+                    if cache is None:
+                        break  # empty source
+                    continue
+                src_ids.extend(segment)
+                n_read = len(src_ids)
                 # re-encode padded prefix (bounded shape set)
                 pad_len = -(-n_read // self._pad_multiple) \
                     * self._pad_multiple
@@ -129,4 +156,6 @@ class SimulTransTextAgent(object):
             out_ids.append(next_id)
             delays.append(n_read)
             last_id = next_id
+            if on_write is not None:
+                on_write(next_id)
         return out_ids, delays
