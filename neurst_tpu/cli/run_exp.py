@@ -61,7 +61,16 @@ FLAG_LIST = [
          help="The global random seed."),
     Flag("distributed_init", dtype=Flag.TYPE.BOOLEAN, default=None,
          help="Call jax.distributed.initialize() for multi-host meshes "
-              "(coordinator from env: JAX_COORDINATOR_ADDRESS etc.)."),
+              "(cluster from --worker_hosts/--task_index or the "
+              "WORKER_HOSTS/TASK_ID env vars; bare auto-discovery "
+              "otherwise)."),
+    Flag("worker_hosts", dtype=Flag.TYPE.STRING, default=None,
+         help="Comma-separated worker addresses; the first is the "
+              "coordinator (parity: reference distribution_utils "
+              "WORKER_HOSTS)."),
+    Flag("task_index", dtype=Flag.TYPE.INTEGER, default=None,
+         help="This process's index into worker_hosts (parity: "
+              "TASK_ID)."),
     ModuleFlag("entry", "entry", help="The program entry."),
     ModuleFlag("task", "task", help="The binding task."),
     ModuleFlag("model", "model", help="The model."),
@@ -130,13 +139,13 @@ def parse_and_merge(argv):
 
 def run_experiment(args):
     if args.get("distributed_init"):
-        import jax
-        # one line replaces all five reference DP backends' cluster
-        # bootstrap (SURVEY.md §2.7): coordinator/process info from the
-        # standard env vars, then the same Mesh code spans all hosts.
-        jax.distributed.initialize()
-        logging.info("jax.distributed initialized: process %d/%d",
-                     jax.process_index(), jax.process_count())
+        # one call replaces all five reference DP backends' cluster
+        # bootstrap (SURVEY.md §2.7): cluster spec from flags or the
+        # reference's WORKER_HOSTS/TASK_ID env vars, then the same
+        # Mesh code spans all hosts.
+        from neurst_tpu.parallel.cluster import distributed_initialize
+        distributed_initialize(args.get("worker_hosts"),
+                               args.get("task_index"))
     if args.get("enable_check_numerics"):
         import jax
         jax.config.update("jax_debug_nans", True)
