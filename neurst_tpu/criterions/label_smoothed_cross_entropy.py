@@ -52,20 +52,26 @@ class LabelSmoothedCrossEntropy(Criterion):
         """Returns (nll_sum [B], n_samples [1], n_tokens [B])."""
         logits = model_out["logits"] if isinstance(model_out, dict) \
             else model_out
-        logits = logits.astype(jnp.float32)
         labels = model_inp["trg"].astype(jnp.int32)
         vocab_size = logits.shape[-1]
 
         confidence = 1.0 - self._label_smoothing
         low_confidence = self._label_smoothing / (vocab_size - 1)
-        log_probs = jax.nn.log_softmax(logits, axis=-1)
-        # soft-target cross entropy without materializing one-hots:
+        # Fused soft-target cross entropy: with logp_v = z_v - lse,
         #   -sum_v soft_v * logp_v
-        #     = -(confidence - low_conf) * logp_label - low_conf * sum_v logp_v
-        label_lp = jnp.take_along_axis(log_probs, labels[..., None],
-                                       axis=-1)[..., 0]
-        xent = -(confidence - low_confidence) * label_lp \
-            - low_confidence * jnp.sum(log_probs, axis=-1)
+        #     = -(conf - low) * (z_label - lse) - low * (sum_v z_v - V*lse)
+        # Only [B,T] reductions are kept; the [B,T,V] f32 log-probs
+        # tensor (2 GB at transformer_base bench shapes) is never
+        # materialized — the f32 casts fuse into the reductions, and
+        # the softmax needed for the gradient is recomputed inside the
+        # backward fusion.
+        z32 = logits.astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(z32, axis=-1)
+        label_z = jnp.take_along_axis(z32, labels[..., None],
+                                      axis=-1)[..., 0]
+        sum_z = jnp.sum(z32, axis=-1)
+        xent = -(confidence - low_confidence) * (label_z - lse) \
+            - low_confidence * (sum_z - vocab_size * lse)
         if self._label_smoothing:
             normalizing = -(
                 confidence * math.log(confidence)
