@@ -11,11 +11,16 @@ exact workload (CPU_BASELINE_UTT_PER_SEC, measured on this host).
 
 ``extra`` additionally captures a transformer_base training step
 (WMT-style MT, vocab 32k, bf16): target tokens/s/chip and model FLOPs
-utilization against the v5e bf16 peak (197 TFLOP/s).  Batch sweep notes:
-decode throughput is latency-bound in the sequential decode loop (flat
-from batch 16 to 128 — 504/502/465/419 utt/s), so batch 16 is kept;
-train throughput peaks at batch 256x64 (1024x64 OOMs on the f32
-[B,T,V] CE temporaries; 128/256/512 give 100k/104k/97k tok/s).
+utilization against the v5e bf16 peak (197 TFLOP/s).  Shape notes
+(measured): decode throughput is latency-bound in the sequential decode
+loop (flat from batch 16 to 128 — 504/502/465/419 utt/s), so batch 16
+is kept; the train step is HBM-bound (XLA cost analysis: 6.5e12 flops
+but 9.0e10 bytes/step ≈ 110 ms of the measured step at v5e bandwidth),
+so longer sequences amortize better: 256x64 / 128x128 / 256x128 give
+109/127/130k tok/s with the fused CE (which stopped materializing the
+f32 [B,T,V] log-probs; +6.5%% at 256x64).  [256, 128] is kept.  The
+analytic FLOPs formula is validated against XLA's own cost analysis
+(6.1e12 vs 6.5e12 at 256x64).
 """
 
 import json
@@ -38,9 +43,15 @@ ITERS = 10
 
 # train-side config (transformer_base per the WMT14 recipe)
 TRAIN_BATCH = 256
-TRAIN_LEN = 64
+TRAIN_LEN = 128
 TRAIN_VOCAB = 32768
 V5E_BF16_PEAK_FLOPS = 197e12
+
+# long-audio encoder comparison (SpeechTransformer-s encoder after 4x
+# conv subsampling; seq 2048 is ~80s of audio) — evidence for the
+# Pallas flash-attention payoff regime
+LONG_FRAMES = 8192
+LONG_BATCH = 4
 
 
 def _median_time(fn, fetch, warmup, iters, chain):
@@ -101,8 +112,11 @@ def bench_decode(jax):
 
 
 def _train_flops(n_src_tok, n_trg_tok, dmodel=512, layers=6, ffn=2048,
-                 vocab=TRAIN_VOCAB, batch=TRAIN_BATCH, length=TRAIN_LEN):
-    """Analytic transformer_base train FLOPs (fwd + 2x bwd = 3x fwd)."""
+                 vocab=TRAIN_VOCAB, batch=None, length=None):
+    """Analytic transformer_base train FLOPs (fwd + 2x bwd = 3x fwd).
+    Validated against XLA cost analysis (within 6%% at [256, 64])."""
+    batch = TRAIN_BATCH if batch is None else batch
+    length = TRAIN_LEN if length is None else length
     enc_mat = layers * (4 * dmodel * dmodel + 2 * dmodel * ffn)
     dec_mat = layers * (8 * dmodel * dmodel + 2 * dmodel * ffn)
     softmax_mat = dmodel * vocab
@@ -114,6 +128,42 @@ def _train_flops(n_src_tok, n_trg_tok, dmodel=512, layers=6, ffn=2048,
         + length * length    # decoder self (full, causal-masked)
         + length * length)   # cross
     return 3 * (fwd_mat + att)
+
+
+def bench_long_audio(jax):
+    """Dense vs Pallas-flash encoder forward on ~80s audio (seq 2048
+    after 4x subsampling): the regime where avoiding the [T, T] score
+    materialization pays."""
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.models.speech_transformer import SpeechTransformer
+
+    cfg = SpeechTransformer.build_model_args_by_name("speech_transformer_s")
+    trg_meta = {"vocab_size": 8192, "eos_id": 1, "bos_id": 2, "unk_id": 3,
+                "pad_id": 1, "language": "fr"}
+    src_meta = {"audio_feature_dim": 80, "audio_feature_channels": 1}
+    rng = np.random.RandomState(0)
+    inputs = {
+        "src": jax.device_put(
+            rng.randn(LONG_BATCH, LONG_FRAMES, 80, 1).astype(np.float32)),
+        "src_length": jax.device_put(
+            np.full([LONG_BATCH], LONG_FRAMES, np.int32)),
+        "trg_input": jax.device_put(np.ones([LONG_BATCH, 4], np.int32)),
+    }
+    times = {}
+    for key, flash in (("dense_ms", False), ("flash_ms", True)):
+        params_cfg = dict(cfg["model.params"])
+        params_cfg["dtype"] = "bfloat16"
+        params_cfg["encoder.enable_flash_attention"] = flash
+        model = build_model(dict(cfg, **{"model.params": params_cfg}),
+                            src_meta=src_meta, trg_meta=trg_meta)
+        params = model.init_params(jax.random.PRNGKey(0))
+        fwd = jax.jit(lambda p, i, m=model: m.call(p, i,
+                                                   is_training=False))
+        elapsed = _median_time(lambda: fwd(params, inputs),
+                               lambda out: np.asarray(out[:1, :1]),
+                               warmup=1, iters=3, chain=2)
+        times[key] = round(elapsed * 1000, 1)
+    return times
 
 
 def bench_train(jax):
@@ -178,6 +228,7 @@ def main():
 
     utt_per_sec, rtf = bench_decode(jax)
     train_tok_s, train_step_s, mfu = bench_train(jax)
+    long_audio = bench_long_audio(jax)
     print(json.dumps({
         "metric": "st_beam4_decode_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 3),
@@ -189,7 +240,9 @@ def main():
                   "train_trg_tokens_per_sec_per_chip": round(train_tok_s),
                   "train_step_ms": round(train_step_s * 1000, 1),
                   "train_batch": [TRAIN_BATCH, TRAIN_LEN],
-                  "mfu": round(mfu, 3)},
+                  "mfu": round(mfu, 3),
+                  "long_audio_encode": dict(
+                      long_audio, batch=LONG_BATCH, frames=LONG_FRAMES)},
     }))
 
 
