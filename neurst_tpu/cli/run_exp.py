@@ -64,6 +64,11 @@ FLAG_LIST = [
               "(cluster from --worker_hosts/--task_index or the "
               "WORKER_HOSTS/TASK_ID env vars; bare auto-discovery "
               "otherwise)."),
+    Flag("compilation_cache_dir", dtype=Flag.TYPE.STRING, default=None,
+         help="Persistent XLA compilation cache directory: bucketed "
+              "batching compiles one executable per input shape, and "
+              "the cache carries them across runs/restarts (TPU "
+              "compiles are tens of seconds each)."),
     Flag("worker_hosts", dtype=Flag.TYPE.STRING, default=None,
          help="Comma-separated worker addresses; the first is the "
               "coordinator (parity: reference distribution_utils "
@@ -149,6 +154,11 @@ def run_experiment(args):
     if args.get("enable_check_numerics"):
         import jax
         jax.config.update("jax_debug_nans", True)
+    if args.get("compilation_cache_dir"):
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          args["compilation_cache_dir"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # quantization config must be global before any module is built
     # (parity: reference run_exp.py:87-90 QuantLayer.global_init)
     from neurst_tpu.layers.quantization.quant_layers import global_init
