@@ -73,6 +73,12 @@ class Trainer(BaseExperiment):
                  help="Log training metrics every N steps."),
             Flag("checkpoints_max_to_keep", dtype=Flag.TYPE.INTEGER,
                  default=8, help="The maximum checkpoints to keep."),
+            Flag("checkpoint_format", dtype=Flag.TYPE.STRING,
+                 default="npz", choices=["npz", "orbax"],
+                 help="npz = name-keyed flat arrays gathered to host 0 "
+                      "(reference-compatible tooling); orbax = sharded "
+                      "OCDBT, each process writes only its own shards "
+                      "(pod-scale models)."),
             Flag("update_cycle", dtype=Flag.TYPE.INTEGER, default=1,
                  help="Accumulate gradients over N micro-batches."),
             Flag("clip_value", dtype=Flag.TYPE.FLOAT, default=None,
@@ -148,7 +154,19 @@ class Trainer(BaseExperiment):
         restored = ckpt_lib.NameBasedCheckpointManager(
             model_dir, args.get("checkpoints_max_to_keep") or 8)
         init_step = 0
-        state_restore = restored.restore(params)
+        state_restore = None
+        if (args.get("checkpoint_format") or "npz") == "orbax":
+            from neurst_tpu.utils import orbax_checkpoints as orbax_lib
+            opath = orbax_lib.latest_orbax_checkpoint(model_dir)
+            if opath is not None:
+                import re as _re
+                step_m = _re.search(r"ckpt-(\d+)\.orbax$", opath)
+                state_restore = {
+                    "params": orbax_lib.restore_checkpoint_orbax(
+                        opath, params),
+                    "step": int(step_m.group(1)), "path": opath}
+        if state_restore is None:
+            state_restore = restored.restore(params)
         if state_restore is not None:
             params = state_restore["params"]
             init_step = state_restore["step"] or 0
@@ -240,16 +258,35 @@ class Trainer(BaseExperiment):
         state = TrainState.create(params, tx)
         # exact resume: restore the optimizer state sidecar when present
         if state_restore is not None:
-            opt_path = state_restore["path"].replace(".npz", ".optstate")
-            if os.path.exists(opt_path):
-                with open(opt_path, "rb") as f:
-                    opt_state = serialization.from_bytes(
-                        state.opt_state, f.read())
-                state = state.replace(
-                    opt_state=jax.tree_util.tree_map(
-                        lambda x: jax.device_put(x), opt_state),
-                    step=jnp.asarray(init_step, jnp.int32))
-                logging.info("Restored optimizer state from %s", opt_path)
+            if state_restore["path"].endswith(".orbax"):
+                from neurst_tpu.utils import orbax_checkpoints as orbax_lib
+                opt_path = state_restore["path"].replace(
+                    ".orbax", ".optstate.orbax")
+                if os.path.isdir(opt_path):
+                    opt_state = orbax_lib.restore_checkpoint_orbax(
+                        opt_path, state.opt_state)
+                    # host-side copies: the resharding jit below places
+                    # them; orbax's committed placements would conflict
+                    opt_state = jax.tree_util.tree_map(np.asarray,
+                                                       opt_state)
+                    state = state.replace(
+                        opt_state=opt_state,
+                        step=jnp.asarray(init_step, jnp.int32))
+                    logging.info("Restored sharded optimizer state from "
+                                 "%s", opt_path)
+            else:
+                opt_path = state_restore["path"].replace(
+                    ".npz", ".optstate")
+                if os.path.exists(opt_path):
+                    with open(opt_path, "rb") as f:
+                        opt_state = serialization.from_bytes(
+                            state.opt_state, f.read())
+                    state = state.replace(
+                        opt_state=jax.tree_util.tree_map(
+                            lambda x: jax.device_put(x), opt_state),
+                        step=jnp.asarray(init_step, jnp.int32))
+                    logging.info("Restored optimizer state from %s",
+                                 opt_path)
         state_shardings = jax.tree_util.tree_map(
             lambda x: replicated(mesh), state)
         state_shardings = state_shardings.replace(
@@ -408,8 +445,11 @@ class Trainer(BaseExperiment):
                         window_start = time.perf_counter()
                         window_tokens = 0
                         window_samples = 0
+                    # orbax saves are collective (every process writes
+                    # its own shards); npz gathers on process 0 only
                     if step % save_every == 0 and model_dir \
-                            and jax.process_index() == 0:
+                            and (self._ckpt_format(args) == "orbax"
+                                 or jax.process_index() == 0):
                         self._save(model_dir, step, state, args)
                     if validator is not None \
                             and validator.should_eval(step):
@@ -423,7 +463,8 @@ class Trainer(BaseExperiment):
                 if epoch_batches == 0:
                     logging.warning("Empty dataset epoch; stopping.")
                     break
-        if model_dir and jax.process_index() == 0:
+        if model_dir and (self._ckpt_format(args) == "orbax"
+                          or jax.process_index() == 0):
             self._save(model_dir, step, state, args)
         writer.close()
         if last_loss is None and "metrics" in locals():
@@ -438,13 +479,26 @@ class Trainer(BaseExperiment):
         prune_tune partial trainer masks updates here)."""
         return tx
 
+    @staticmethod
+    def _ckpt_format(args):
+        return args.get("checkpoint_format") or "npz"
+
     def _save(self, model_dir, step, state, args):
+        keep = args.get("checkpoints_max_to_keep") or 8
+        if self._ckpt_format(args) == "orbax":
+            from neurst_tpu.utils import orbax_checkpoints as orbax_lib
+            path = orbax_lib.save_checkpoint_orbax(
+                model_dir, step, state.params, max_to_keep=keep)
+            orbax_lib.save_checkpoint_orbax_raw(
+                path.replace(".orbax", ".optstate.orbax"),
+                state.opt_state)
+            return
         params_host = jax.tree_util.tree_map(np.asarray, state.params)
         opt_bytes = serialization.to_bytes(
             jax.tree_util.tree_map(np.asarray, state.opt_state))
         ckpt_lib.save_checkpoint(
             model_dir, step, params_host, opt_bytes,
-            max_to_keep=args.get("checkpoints_max_to_keep") or 8)
+            max_to_keep=keep)
 
 
 def _lead_dim(batch):

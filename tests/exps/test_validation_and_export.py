@@ -150,6 +150,51 @@ def test_validation_sidecar_gives_up_when_no_checkpoint(tmp_path):
     assert time.time() - t0 < 30
 
 
+def test_validation_sidecar_reads_orbax_checkpoints(tmp_path):
+    """The sidecar must also consume sharded (orbax) trainer
+    checkpoints (--checkpoint_format orbax)."""
+    import jax
+
+    from neurst_tpu.exps.base_experiment import build_exp
+    from neurst_tpu.utils.orbax_checkpoints import save_checkpoint_orbax
+
+    task, model = _build_task_and_model()
+    model_dir = str(tmp_path / "model")
+    os.makedirs(model_dir)
+    save_checkpoint_orbax(model_dir, 10,
+                          model.init_params(jax.random.PRNGKey(0)))
+    entry = build_exp(
+        {"entry.class": "validation",
+         "entry.params": {
+             "validator.class": "criterion_validator",
+             "validator.params": {
+                 "eval_dataset.class": "parallel_text",
+                 "eval_dataset.params": {
+                     "src_file": "tests/examples/dev.src",
+                     "trg_file": "tests/examples/dev.trg"},
+             },
+             "waiting_interval": 1,
+             "maximum_waiting_time": 2,
+         }},
+        task=task, model=model, model_dir=model_dir)
+
+    seen = []
+    from neurst_tpu.training.validator import TrainingStatusRecorder
+    real = TrainingStatusRecorder.record
+
+    def spy(self, step, value, params=None):
+        seen.append((step, value))
+        return real(self, step, value, params)
+
+    TrainingStatusRecorder.record = spy
+    try:
+        entry.run()
+    finally:
+        TrainingStatusRecorder.record = real
+    assert [s for s, _ in seen] == [10]
+    assert np.isfinite(seen[0][1])
+
+
 def test_export_entry_artifacts_reproduce_generation(tmp_path):
     """The export dir must be self-contained (StableHLO text + serialized
     jax.export artifact + checkpoint + model_configs.yml) and the
