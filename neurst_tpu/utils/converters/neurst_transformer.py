@@ -74,6 +74,21 @@ def map_reference_variables(ref: Dict[str, np.ndarray],
             out[f"{side}/{m.group(2)}"] = v
             continue
 
+        # ---------- audio conv subsampling front-end ----------
+        # (SpeechTransformer; conv kernels are HWIO in both TF and
+        # flax, so values pass through; TF LayerNorm gamma/beta ->
+        # flax scale/bias)
+        m = re.match(
+            r"input_audio_modality(?:_posenc_wrapper)?/"
+            r"input_audio_modality/"
+            r"(conv1|conv2|ln1|ln2|output_dense)/"
+            r"(kernel|bias|gamma|beta)", name)
+        if m:
+            part, kind = m.group(1), m.group(2)
+            kind = {"gamma": "scale", "beta": "bias"}.get(kind, kind)
+            out[f"input_audio_modality/{part}/{kind}"] = v
+            continue
+
         # ---------- encoder / decoder stacks ----------
         m = re.match(r"Transformer(Encoder|Decoder)/(.*)", name)
         if not m:
