@@ -22,7 +22,8 @@ import jax.numpy as jnp  # noqa: E402
 
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "..", "fixtures",
                            "reference_goldens")
-FIXTURES = sorted(glob.glob(os.path.join(FIXTURE_DIR, "*.npz")))
+FIXTURES = sorted(glob.glob(os.path.join(FIXTURE_DIR,
+                                         "transformer_toy_*.npz")))
 
 
 def _load(path):
