@@ -50,7 +50,15 @@ class GenerationExporter(BaseExperiment):
             Flag("export_batch_size", dtype=Flag.TYPE.INTEGER, default=8,
                  help="The fixed serving batch size."),
             Flag("export_src_length", dtype=Flag.TYPE.INTEGER, default=128,
-                 help="The fixed padded source length."),
+                 help="The fixed padded source length (tokens for text "
+                      "models, fbank frames for speech models, raw "
+                      "samples when --export_raw_audio)."),
+            Flag("export_raw_audio", dtype=Flag.TYPE.BOOLEAN,
+                 default=None,
+                 help="Speech models: serve RAW waveforms — the module "
+                      "runs log-mel fbank + CMVN on-device "
+                      "(ops/device_fbank.py) before the encoder, so "
+                      "clients send PCM floats, not features."),
         ]
 
     def run(self):
@@ -69,12 +77,46 @@ class GenerationExporter(BaseExperiment):
 
         batch = int(args.get("export_batch_size") or 8)
         src_len = int(args.get("export_src_length") or 128)
-        example = {
-            "src": np.zeros([batch, src_len], np.int32),
-            "src_padding": np.zeros([batch, src_len], np.float32),
-            "trg_input": np.zeros([batch], np.int32),
-        }
-        fn = jax.jit(lambda p, inp: search(p, inp))
+        feat_dim = getattr(self._task, "_audio_feature_dim", None)
+        if args.get("export_raw_audio"):
+            if feat_dim is None:
+                raise ValueError("--export_raw_audio requires a speech "
+                                 "task (audio_feature_dim).")
+            from neurst_tpu.ops.device_fbank import device_logfbank
+            channels = getattr(self._task, "_audio_feature_channels", 1)
+            example = {
+                "audio": np.zeros([batch, src_len], np.float32),
+                "audio_length": np.full([batch], src_len, np.int32),
+                "trg_input": np.zeros([batch], np.int32),
+            }
+
+            def serve(p, inp):
+                feats, fl = device_logfbank(
+                    inp["audio"], inp["audio_length"], nfilt=feat_dim)
+                return search(p, {
+                    "src": feats.reshape(
+                        feats.shape[0], feats.shape[1], feat_dim,
+                        channels),
+                    "src_length": fl,
+                    "trg_input": inp["trg_input"]})
+
+            fn = jax.jit(serve)
+        elif feat_dim is not None:  # speech model served on features
+            channels = getattr(self._task, "_audio_feature_channels", 1)
+            example = {
+                "src": np.zeros([batch, src_len, feat_dim, channels],
+                                np.float32),
+                "src_length": np.full([batch], src_len, np.int32),
+                "trg_input": np.zeros([batch], np.int32),
+            }
+            fn = jax.jit(lambda p, inp: search(p, inp))
+        else:
+            example = {
+                "src": np.zeros([batch, src_len], np.int32),
+                "src_padding": np.zeros([batch, src_len], np.float32),
+                "trg_input": np.zeros([batch], np.int32),
+            }
+            fn = jax.jit(lambda p, inp: search(p, inp))
         lowered = fn.lower(params, example)
         stablehlo = lowered.as_text(dialect="stablehlo")
         with open(os.path.join(export_path, "generation.stablehlo.mlir"),

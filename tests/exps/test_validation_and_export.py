@@ -258,3 +258,76 @@ def test_export_entry_artifacts_reproduce_generation(tmp_path):
                     jax.tree_util.tree_leaves(reloaded)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_export_raw_audio_serving_matches_two_step(tmp_path):
+    """--export_raw_audio: the exported speech module consumes RAW
+    waveforms (on-device fbank+CMVN before the encoder) and must equal
+    host-fbank -> features -> search."""
+    import jax
+
+    from neurst_tpu.data.audio.log_mel_fbank import LogMelFbank
+    from neurst_tpu.exps.base_experiment import build_exp
+    from neurst_tpu.layers.search.sequence_search import build_search_layer
+    from neurst_tpu.tasks.task import build_task
+    from neurst_tpu.utils import checkpoints as ckpt_lib
+
+    os.chdir(REPO)
+    vocab = tmp_path / "v.txt"
+    vocab.write_text("".join(f"c{i}\n" for i in range(8)))
+    task = build_task({
+        "task.class": "speech2text",
+        "task.params": {
+            "transcript_data_pipeline.class": "TextDataPipeline",
+            "transcript_data_pipeline.params": {"vocab_path": str(vocab)},
+            "audio_feature_dim": 16}})
+    from neurst_tpu.models.speech_transformer import SpeechTransformer
+    toy = SpeechTransformer.build_model_args_by_name(
+        "speech_transformer_toy")
+    cfg = dict(toy["model.params"])
+    cfg["dtype"] = "float32"
+    model = task.build_model({"model.class": "speech_transformer",
+                              "model.params": cfg})
+    model_dir = str(tmp_path / "model")
+    os.makedirs(model_dir)
+    params = model.init_params(jax.random.PRNGKey(2))
+    ckpt_lib.save_checkpoint(model_dir, 1, params)
+
+    export_path = str(tmp_path / "export")
+    search_args = {
+        "search_method.class": "beam_search",
+        "search_method.params": {"beam_size": 2,
+                                 "maximum_decode_length": 6,
+                                 "extra_decode_length": 2}}
+    entry = build_exp(
+        {"entry.class": "export",
+         "entry.params": dict(search_args, export_path=export_path,
+                              export_batch_size=2,
+                              export_src_length=4000,
+                              export_raw_audio=True)},
+        task=task, model=model, model_dir=model_dir)
+    entry.run()
+
+    from jax import export as jax_export
+    with open(os.path.join(export_path, "generation.jaxexport.bin"),
+              "rb") as f:
+        exported = jax_export.deserialize(bytearray(f.read()))
+
+    rng = np.random.RandomState(5)
+    wav = (rng.randn(2, 4000) * 1000).astype(np.float32)
+    served = exported.call(params, {
+        "audio": wav, "audio_length": np.full([2], 4000, np.int32),
+        "trg_input": np.zeros([2], np.int32)})
+
+    # two-step host pipeline on the same waveforms
+    fe = LogMelFbank({"nfilt": 16})
+    feats = np.stack([fe(w, 16000) for w in wav])  # same length -> same F
+    search = build_search_layer(search_args)
+    search.set_model(model)
+    direct = search(params, {
+        "src": feats[..., None].astype(np.float32),
+        "src_length": np.full([2], feats.shape[1], np.int32),
+        "trg_input": np.zeros([2], np.int32)})
+    ids_served = np.asarray(jax.tree_util.tree_leaves(served)[0])
+    ids_direct = np.asarray(jax.tree_util.tree_leaves(direct)[0])
+    np.testing.assert_array_equal(ids_served, ids_direct)
