@@ -145,11 +145,24 @@ def latest_checkpoint(model_dir: str) -> Optional[str]:
 
 
 def restore_checkpoint_params(path: str) -> Dict[str, np.ndarray]:
-    """Loads the flat name->array mapping from a .npz checkpoint."""
+    """Loads the flat name->array mapping from a .npz checkpoint (or a
+    sharded ``.orbax`` directory — read host-side and flattened, so
+    every npz tool: inspect/avg/converters/sidecar works on both)."""
+    if path.endswith(".orbax") and os.path.isdir(path):
+        from neurst_tpu.utils.orbax_checkpoints import \
+            restore_checkpoint_orbax
+        tree = restore_checkpoint_orbax(path, None)
+        return {k: np.asarray(v)
+                for k, v in flatten_params(tree).items()}
     if os.path.isdir(path):
-        path = latest_checkpoint(path)
-        if path is None:
+        found = latest_checkpoint(path)
+        if found is None:
+            from neurst_tpu.utils.orbax_checkpoints import \
+                latest_orbax_checkpoint
+            found = latest_orbax_checkpoint(path)
+        if found is None:
             raise FileNotFoundError("No checkpoint found")
+        return restore_checkpoint_params(found)
     with np.load(path) as data:
         return {k: data[k] for k in data.files}
 

@@ -94,10 +94,13 @@ def latest_orbax_checkpoint(model_dir: str) -> Optional[str]:
     return _ckpt_dir(model_dir, max(steps))
 
 
-def restore_checkpoint_orbax(path: str, template):
+def restore_checkpoint_orbax(path: str, template=None):
     """Restores into `template`'s structure/shardings: a pytree of
     jax.ShapeDtypeStruct (with shardings) restores each array directly
-    onto its devices; a concrete pytree restores host-local."""
+    onto its devices; a concrete pytree restores host-local; None
+    restores the saved structure as host arrays (for tooling)."""
     import orbax.checkpoint as ocp
     with ocp.StandardCheckpointer() as ckptr:
+        if template is None:
+            return ckptr.restore(os.path.abspath(path))
         return ckptr.restore(os.path.abspath(path), template)
