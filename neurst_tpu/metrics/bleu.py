@@ -54,6 +54,10 @@ def bleu_tokenize(text: str, language: str = "en") -> List[str]:
     text = re.sub(r"&amp;", "&", text)
     text = re.sub(r"&lt;", "<", text)
     text = re.sub(r"&gt;", ">", text)
+    # mteval pads the line with spaces so the [^0-9] context rules
+    # also fire at the line boundaries (e.g. a sentence-final period
+    # after a digit: "int8." -> "int8 .")
+    text = f" {text} "
     text = re.sub(r"([\{-\~\[-\` -\&\(-\+\:-\@\/])", r" \1 ", text)
     text = re.sub(r"([^0-9])([\.,])", r"\1 \2 ", text)
     text = re.sub(r"([\.,])([^0-9])", r" \1 \2", text)
