@@ -181,4 +181,8 @@ class SacreBLEU(Metric):
         res_lc = sacrebleu.corpus_bleu(
             [h.lower() for h in hypothesis],
             [[r.lower() for r in rs] for rs in ref_streams])
-        return {"SacreBLEU": res.score, "UncasedSacreBLEU": res_lc.score}
+        # parity: the reference's BLEU metric also reports chrF
+        # (/root/reference/neurst/metrics/bleu.py sacrebleu block)
+        chrf = sacrebleu.corpus_chrf(hypothesis, ref_streams).score
+        return {"SacreBLEU": res.score, "UncasedSacreBLEU": res_lc.score,
+                "ChrF": chrf}
