@@ -52,6 +52,11 @@ class SequenceGenerator(BaseExperiment):
             Flag("checkpoint_path", dtype=Flag.TYPE.STRING, default=None,
                  help="Explicit checkpoint path (defaults to latest in "
                       "model_dir)."),
+            Flag("decode_data_parallel", dtype=Flag.TYPE.BOOLEAN,
+                 default=None,
+                 help="Shard decode batches over all devices (on by "
+                      "default with >1 device; pass false to pin to "
+                      "one)."),
         ]
 
     def restore_params(self, params):
@@ -66,12 +71,42 @@ class SequenceGenerator(BaseExperiment):
         logging.info("Restored generation model from %s", path)
         return params
 
+    def _dp_placement(self, params):
+        """Data-parallel decode: with >1 device (and unless
+        --decode_data_parallel false), replicate params over a "data"
+        mesh and shard each batch's leading axis — XLA partitions the
+        whole beam search SPMD, the scale-out inference the reference
+        lacks (its predict is single-replica)."""
+        import jax as _jax
+        if _jax.device_count() <= 1 \
+                or self._args.get("decode_data_parallel") is False:
+            return None, params
+        from neurst_tpu.parallel.mesh import make_mesh, replicated
+        mesh = make_mesh()
+        params = _jax.device_put(params, replicated(mesh))
+        logging.info("Data-parallel decode over %d devices",
+                     mesh.shape["data"])
+        return mesh, params
+
+    def _dp_put(self, mesh, inp):
+        import jax as _jax
+        from neurst_tpu.parallel.mesh import batch_sharding, replicated
+        dp = mesh.shape["data"]
+        out = {}
+        for k, v in inp.items():
+            shardable = (getattr(v, "ndim", 0) >= 1
+                         and v.shape[0] % dp == 0)
+            out[k] = _jax.device_put(
+                v, batch_sharding(mesh) if shardable else replicated(mesh))
+        return out
+
     def build_generation_fn(self, params):
         """Returns fn(model_inputs) -> (hypotheses ids, scores).
 
         Sampling searches receive a fresh per-batch rng (folded from a
         traced counter) so corpus decodes are not correlated batch to
         batch."""
+        mesh, params = self._dp_placement(params)
         search = build_search_layer(self._args)
         search.set_model(self._model)
         import inspect
@@ -87,6 +122,8 @@ class SequenceGenerator(BaseExperiment):
 
             def fn(inp):
                 counter[0] += 1
+                if mesh is not None:
+                    inp = self._dp_put(mesh, inp)
                 return jit_search(params, inp,
                                   jnp_asarray(counter[0]))
             import jax.numpy as _jnp
@@ -95,6 +132,8 @@ class SequenceGenerator(BaseExperiment):
                 return _jnp.asarray(x, _jnp.int32)
             return fn
         jit_search = jax.jit(lambda p, inp: search(p, inp))
+        if mesh is not None:
+            return lambda inp: jit_search(params, self._dp_put(mesh, inp))
         return lambda inp: jit_search(params, inp)
 
     def _maybe_build_ensemble(self):
