@@ -21,16 +21,32 @@ jax = pytest.importorskip("jax")
 REPO = os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__))))
 FIXTURE_DIR = os.path.join(REPO, "tests", "fixtures", "reference_goldens")
-GOLDEN = os.path.join(FIXTURE_DIR, "corpus_golden.json")
-CKPT = os.path.join(FIXTURE_DIR, "corpus_tf_ckpt")
+VARIANTS = {
+    "prenorm": ("corpus_golden.json", "corpus_tf_ckpt"),
+    "postnorm": ("corpus_golden_postnorm.json", "corpus_tf_ckpt_postnorm"),
+}
+
+
+@pytest.fixture(scope="module", params=sorted(VARIANTS),
+                ids=sorted(VARIANTS))
+def variant(request):
+    golden_name, ckpt_name = VARIANTS[request.param]
+    golden_path = os.path.join(FIXTURE_DIR, golden_name)
+    ckpt_path = os.path.join(FIXTURE_DIR, ckpt_name)
+    if not os.path.exists(golden_path) or not os.path.isdir(ckpt_path):
+        pytest.skip(f"{request.param} corpus fixture not generated")
+    return golden_path, ckpt_path
 
 
 @pytest.fixture(scope="module")
-def golden():
-    if not os.path.exists(GOLDEN) or not os.path.isdir(CKPT):
-        pytest.skip("corpus golden fixture not generated")
-    with open(GOLDEN) as f:
+def golden(variant):
+    with open(variant[0]) as f:
         return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(variant):
+    return variant[1]
 
 
 @pytest.fixture(scope="module")
@@ -54,14 +70,14 @@ def task_and_model(golden):
     return task, model
 
 
-def _converted_params(model, golden):
+def _converted_params(model, golden, ckpt_dir):
     pytest.importorskip("tensorflow")
     from neurst_tpu.utils.checkpoints import unflatten_params
     from neurst_tpu.utils.converters.converter import build_converter
     conv = build_converter({"converter.class": "neurst_transformer",
                             "converter.params": {
                                 "num_heads": golden["num_heads"]}})
-    flat = conv.convert_to_flat(CKPT)
+    flat = conv.convert_to_flat(ckpt_dir)
     converted = unflatten_params(flat)
     init = model.init_params(jax.random.PRNGKey(0))
     ref_paths = {p for p, _ in
@@ -75,9 +91,9 @@ def _converted_params(model, golden):
 
 
 def test_converted_checkpoint_reproduces_reference_decode(
-        golden, task_and_model):
+        golden, task_and_model, ckpt_dir):
     task, model = task_and_model
-    params = _converted_params(model, golden)
+    params = _converted_params(model, golden, ckpt_dir)
     pipeline = task._src_data_pipeline
     eos = pipeline.meta["eos_id"]
     bos = task._trg_data_pipeline.meta["bos_id"]

@@ -65,6 +65,8 @@ BATCH_SIZE = 64
 LR = 2e-3
 SEED = 7
 
+POST_NORM = False  # overridden by main() for the post-norm fixture
+
 
 def model_params():
     params = copy.deepcopy(
@@ -83,7 +85,7 @@ def model_params():
         params[f"{side}.attention_dropout_rate"] = 0.0
         params[f"{side}.ffn_dropout_rate"] = 0.0
         params[f"{side}.layer_postprocess_dropout_rate"] = 0.0
-        params[f"{side}.post_normalize"] = False
+        params[f"{side}.post_normalize"] = POST_NORM
     return params
 
 
@@ -191,7 +193,9 @@ def main():
     for h in hypos[:5]:
         print("  hypo:", h)
 
-    ckpt_dir = os.path.join(OUT_DIR, "corpus_tf_ckpt")
+    ckpt_dir = os.path.join(
+        OUT_DIR, "corpus_tf_ckpt_postnorm" if POST_NORM
+        else "corpus_tf_ckpt")
     os.makedirs(ckpt_dir, exist_ok=True)
     ckpt = tf.train.Checkpoint(
         **{x.name.split(":")[0]: x for x in model.weights})
@@ -211,10 +215,15 @@ def main():
         "hypotheses": hypos,
         "train_steps": TRAIN_STEPS,
     }
-    with open(os.path.join(OUT_DIR, "corpus_golden.json"), "w") as f:
+    tag = "corpus_golden_postnorm" if POST_NORM else "corpus_golden"
+    with open(os.path.join(OUT_DIR, f"{tag}.json"), "w") as f:
         json.dump(golden, f, indent=1)
-    print(f"wrote {ckpt_dir} and corpus_golden.json")
+    print(f"wrote {ckpt_dir} and {tag}.json")
 
 
 if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--post_norm", action="store_true")
+    POST_NORM = ap.parse_args().post_norm
     main()
