@@ -107,3 +107,23 @@ def test_view_registry(capsys):
     view_registry.main(["model", "transformer"])
     out = capsys.readouterr().out
     assert "hidden_size" in out or "num_layers" in out
+
+
+def test_convert_checkpoint_cli_neurst_transformer(tmp_path):
+    """The convert_checkpoint CLI on a reference-trained TF checkpoint
+    (the corpus-parity fixture) must emit an npz our tooling loads."""
+    pytest.importorskip("tensorflow")
+    from neurst_tpu.cli import convert_checkpoint
+    from neurst_tpu.utils import checkpoints as ckpt_lib
+    src = os.path.join(REPO, "tests", "fixtures", "reference_goldens",
+                       "corpus_tf_ckpt")
+    if not os.path.isdir(src):
+        pytest.skip("corpus fixture not generated")
+    out_dir = str(tmp_path / "converted")
+    convert_checkpoint.main(["--converter", "neurst_transformer",
+                             "--from_path", src, "--to_path", out_dir,
+                             "--num_heads", "4"])
+    flat = ckpt_lib.restore_checkpoint_params(
+        ckpt_lib.latest_checkpoint(out_dir))
+    assert any(k.startswith("encoder/layer_0/") for k in flat)
+    assert any(k.startswith("target_symbol_modality") for k in flat)
