@@ -52,23 +52,46 @@ def run_online(agent, task, hostname, port):
     src_pipeline = task.src_pipeline
     trg_pipeline = task.trg_pipeline
     trg_meta = trg_pipeline.meta
+    src_eos = src_pipeline.meta["eos_id"]
     for i in range(n):
-        def read_fn(instance=i):
+        state = {"exhausted": False, "pending": []}
+
+        def read_fn(instance=i, state=state):
+            if state["exhausted"]:
+                return None
             seg = client.get_source(instance)["segment"]
             if seg == DEFAULT_EOS or seg == "":
-                return None
-            # drop the sentence-final eos our pipeline appends: units
+                # terminate the source exactly as training/offline did:
+                # the encoder must see the sentence-final eos
+                # (parity: the reference agent appends DEFAULT_EOS to
+                # states.units.source when reading finishes)
+                state["exhausted"] = True
+                return [src_eos]
+            # drop the per-segment eos our pipeline appends: units
             # stream in one segment at a time
             return src_pipeline.encode(seg)[:-1]
 
-        def on_write(token_id, instance=i):
-            client.send_hypo(
-                instance,
-                trg_pipeline.decode([token_id, trg_meta["eos_id"]]))
+        def flush(instance=i, state=state):
+            if state["pending"]:
+                client.send_hypo(
+                    instance, trg_pipeline.decode(
+                        state["pending"] + [trg_meta["eos_id"]]))
+                state["pending"] = []
+
+        def on_write(token_id, instance=i, state=state):
+            """Merge subword units into full words before sending
+            (parity: reference agent units_to_segment): a unit whose
+            raw token carries a continuation marker ('@@' BPE /
+            wordpiece '_' absence) keeps buffering."""
+            state["pending"].append(int(token_id))
+            token = trg_pipeline.vocab.map_id_to_token(int(token_id))
+            if not (isinstance(token, str) and token.endswith("@@")):
+                flush(instance, state)
 
         agent.translate_stream(read_fn, eos_id=trg_meta["eos_id"],
                                bos_id=trg_meta.get("bos_id"),
                                on_write=on_write)
+        flush()
         client.send_hypo(i, DEFAULT_EOS)
     scores = client.get_scores()
     logging.info("SimulEval server scores: %s", scores)

@@ -64,21 +64,14 @@ def _via_ffmpeg(data: bytes) -> Tuple[np.ndarray, int]:
         raise ValueError(
             f"ffmpeg failed to decode mp3: {probe.stderr.decode()[:500]}")
     arr = np.frombuffer(probe.stdout, "<i2").astype(np.float32)
-    rate = _ffprobe_rate(data)
+    # the rate comes from the frame header (pure python) — spawning a
+    # second subprocess (ffprobe) per clip would double the dominant
+    # cost of corpus preparation
+    rate = _frame_header_rate(data)
     return arr, rate
 
 
-def _ffprobe_rate(data: bytes) -> int:
-    if shutil.which("ffprobe"):
-        p = subprocess.run(
-            ["ffprobe", "-v", "error", "-select_streams", "a:0",
-             "-show_entries", "stream=sample_rate", "-of", "csv=p=0",
-             "pipe:0"],
-            input=data, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
-        try:
-            return int(p.stdout.decode().strip())
-        except ValueError:
-            pass
+def _frame_header_rate(data: bytes) -> int:
     # parse the first MPEG audio frame header for the sample rate
     rates = {0: 44100, 1: 48000, 2: 32000}
     pos = 0

@@ -58,7 +58,18 @@ class GenerationExporter(BaseExperiment):
                  help="Speech models: serve RAW waveforms — the module "
                       "runs log-mel fbank + CMVN on-device "
                       "(ops/device_fbank.py) before the encoder, so "
-                      "clients send PCM floats, not features."),
+                      "clients send PCM floats, not features. "
+                      "Single-channel fbank features only."),
+            Flag("export_sample_rate", dtype=Flag.TYPE.INTEGER,
+                 default=16000,
+                 help="Serving sample rate for --export_raw_audio; must "
+                      "match the rate the training features used."),
+            Flag("export_fbank_params", dtype=Flag.TYPE.STRING,
+                 default=None,
+                 help="Overrides for the on-device extractor, e.g. "
+                      "'{winlen: 0.025, winstep: 0.01, nfft: 512}' — "
+                      "must mirror the data-prep feature_extractor "
+                      "config."),
         ]
 
     def run(self):
@@ -82,8 +93,21 @@ class GenerationExporter(BaseExperiment):
             if feat_dim is None:
                 raise ValueError("--export_raw_audio requires a speech "
                                  "task (audio_feature_dim).")
-            from neurst_tpu.ops.device_fbank import device_logfbank
             channels = getattr(self._task, "_audio_feature_channels", 1)
+            if channels != 1:
+                raise ValueError(
+                    "--export_raw_audio supports single-channel fbank "
+                    f"features only (task has audio_feature_channels="
+                    f"{channels}; delta channels are not computed "
+                    f"on-device) — export on features instead.")
+            from neurst_tpu.ops.device_fbank import device_logfbank
+            fbank_kwargs = {"samplerate":
+                            int(args.get("export_sample_rate") or 16000)}
+            extra = args.get("export_fbank_params")
+            if isinstance(extra, str):
+                import yaml as _yaml
+                extra = _yaml.safe_load(extra)
+            fbank_kwargs.update(extra or {})
             example = {
                 "audio": np.zeros([batch, src_len], np.float32),
                 "audio_length": np.full([batch], src_len, np.int32),
@@ -92,11 +116,10 @@ class GenerationExporter(BaseExperiment):
 
             def serve(p, inp):
                 feats, fl = device_logfbank(
-                    inp["audio"], inp["audio_length"], nfilt=feat_dim)
+                    inp["audio"], inp["audio_length"], nfilt=feat_dim,
+                    **fbank_kwargs)
                 return search(p, {
-                    "src": feats.reshape(
-                        feats.shape[0], feats.shape[1], feat_dim,
-                        channels),
+                    "src": feats[..., None],
                     "src_length": fl,
                     "trg_input": inp["trg_input"]})
 

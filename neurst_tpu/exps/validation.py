@@ -77,15 +77,9 @@ class Validation(BaseExperiment):
                 orbax_path = os.path.join(self._model_dir,
                                           f"ckpt-{step}.orbax")
                 if not os.path.exists(path) and os.path.isdir(orbax_path):
-                    # sharded (orbax) trainer checkpoints
-                    from neurst_tpu.utils.orbax_checkpoints import \
-                        restore_checkpoint_orbax
-                    params = restore_checkpoint_orbax(orbax_path,
-                                                      params_template)
-                    if validator.validate(step, params):
-                        logging.info("Validator requested early stop.")
-                        return
-                    continue
+                    # sharded (orbax) trainer checkpoints go through the
+                    # same flat-restore + retry path below
+                    path = orbax_path
                 flat = None
                 for attempt in range(5):  # retry slow writers (parity)
                     try:

@@ -138,10 +138,21 @@ def latest_checkpoint(model_dir: str) -> Optional[str]:
     if step is None:
         steps = list_checkpoints(model_dir)
         if not steps:
-            return None
-        step = steps[-1]
-    path = _ckpt_path(model_dir, step)
-    return path if os.path.exists(path) else None
+            step = None
+        else:
+            step = steps[-1]
+    if step is not None:
+        path = _ckpt_path(model_dir, step)
+        if os.path.exists(path):
+            return path
+        orbax = path.replace(".npz", ".orbax")
+        if os.path.isdir(orbax):
+            return orbax
+    # sharded-format-only directories (--checkpoint_format orbax):
+    # every consumer goes through restore_checkpoint_params, which
+    # reads .orbax paths transparently
+    from neurst_tpu.utils.orbax_checkpoints import latest_orbax_checkpoint
+    return latest_orbax_checkpoint(model_dir)
 
 
 def restore_checkpoint_params(path: str) -> Dict[str, np.ndarray]:

@@ -59,9 +59,15 @@ def save_checkpoint_orbax(model_dir: str, step: int, params,
 
     os.makedirs(model_dir, exist_ok=True)
     path = _ckpt_dir(model_dir, step)
+    # the save itself is collective (every process writes its shards
+    # and orbax synchronizes); the meta read-modify-write and the
+    # pruning below must run on ONE process or they race on shared
+    # storage (TOCTOU rmtree, dropped meta entries)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(os.path.abspath(path), params, force=True)
-    # maintain the same meta protocol as the npz format
+    import jax
+    if jax.process_index() != 0:
+        return path
     from neurst_tpu.utils.checkpoints import _read_meta, _write_meta
     meta = _read_meta(model_dir)
     if step not in meta["all"]:

@@ -122,13 +122,13 @@ def test_mp3_gated_with_clear_error_or_decodes():
 
 
 def test_mp3_frame_header_rate_parse():
-    from neurst_tpu.data.audio.mp3_io import _ffprobe_rate
+    from neurst_tpu.data.audio.mp3_io import _frame_header_rate
     # MPEG-1 Layer III, 44100 Hz frame sync header
     hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
-    assert _ffprobe_rate(hdr + b"\0" * 10) == 44100
+    assert _frame_header_rate(hdr + b"\0" * 10) == 44100
     # MPEG-2 (version bits 10) with rate index 0 -> 22050
     hdr2 = bytes([0xFF, 0xF3, 0x90, 0x00])
-    assert _ffprobe_rate(hdr2 + b"\0" * 10) == 22050
+    assert _frame_header_rate(hdr2 + b"\0" * 10) == 22050
     # ID3v2 tag is skipped before the frame scan
     id3 = b"ID3\x03\x00\x00\x00\x00\x00\x0a" + b"\0" * 10
-    assert _ffprobe_rate(id3 + hdr + b"\0" * 10) == 44100
+    assert _frame_header_rate(id3 + hdr + b"\0" * 10) == 44100

@@ -84,3 +84,22 @@ def test_trainer_orbax_format_and_resume(tmp_path, caplog):
     assert any("Start training from step 20 to 40" in m for m in msgs), \
         [m for m in msgs if "Start training" in m]
     assert any("Restored sharded optimizer state" in m for m in msgs)
+
+    # predict must find the orbax checkpoint (a silent random-init
+    # decode here was a round-2 review finding)
+    caplog.clear()
+    with caplog.at_level(logging.INFO):
+        result = cli_main(
+            ["--entry", "predict", "--model_dir", model_dir,
+             "--dataset.class", "parallel_text",
+             "--dataset.params", "{src_file: tests/examples/dev.src, "
+                                 "trg_file: tests/examples/dev.trg}",
+             "--search_method.params",
+             "{beam_size: 2, maximum_decode_length: 12}"])
+    msgs = [r.getMessage() for r in caplog.records]
+    assert result["samples"] == 24
+    assert not any("using random init" in m for m in msgs), \
+        [m for m in msgs if "random" in m]
+    assert any("Restored generation model from" in m
+               and "ckpt-40.orbax" in m for m in msgs), \
+        [m for m in msgs if "Restored" in m]

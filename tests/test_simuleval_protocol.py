@@ -146,3 +146,54 @@ def test_waitk_agent_against_simuleval_server():
         # not read-all-then-write) for the longer first source
     events0 = [a for a, j in server.log if j == 0]
     assert "read" in events0[events0.index("write"):], events0
+
+
+def test_online_merges_subwords_and_feeds_source_eos(tmp_path):
+    """Protocol-level regression for two round-2 review findings: the
+    client must (a) merge BPE continuation units into full words before
+    PUT /hypo, and (b) feed the source-final eos to the agent when the
+    server's segments run out."""
+    import os
+
+    from neurst_tpu.cli.simuleval_cli import run_online
+    from neurst_tpu.tasks.task import build_task
+
+    vocab = tmp_path / "v.txt"
+    vocab.write_text("he@@\nllo\nworld\nsrc1\nsrc2\n")
+    task = build_task({
+        "task.class": "waitk_translation",
+        "task.params": {
+            "src_data_pipeline.class": "TextDataPipeline",
+            "src_data_pipeline.params": {"vocab_path": str(vocab)},
+            "trg_data_pipeline.class": "TextDataPipeline",
+            "trg_data_pipeline.params": {"vocab_path": str(vocab),
+                                         "subtokenizer": "bpe"},
+            "wait_k": 1}})
+    pipe = task.trg_pipeline
+    ids = {t: pipe.vocab.map_token_to_id(t)
+           for t in ("he@@", "llo", "world")}
+    src_eos = task.src_pipeline.meta["eos_id"]
+
+    class FakeAgent:
+        def __init__(self):
+            self.read_ids = []
+
+        def translate_stream(self, read_fn, eos_id, bos_id=None,
+                             on_write=None):
+            while True:
+                seg = read_fn()
+                if seg is None:
+                    break
+                self.read_ids.extend(seg)
+            for t in ("he@@", "llo", "world"):
+                on_write(ids[t])
+            return [ids[t] for t in ("he@@", "llo", "world")], [1, 1, 1]
+
+    agent = FakeAgent()
+    with MockSimulEvalServer(["src1 src2"]) as server:
+        run_online(agent, task, "127.0.0.1", server.port)
+
+    # (b) the stream ended with the source-final eos token
+    assert agent.read_ids[-1] == src_eos
+    # (a) 'he@@' buffered and merged with 'llo' into one unit 'hello'
+    assert server.hypos[0] == ["hello", "world", DEFAULT_EOS]
