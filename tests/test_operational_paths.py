@@ -182,3 +182,48 @@ def test_cascade_st_cli(tmp_path):
         "--output_file", out, "--ref_file", str(refs)])
     lines = open(out).read().splitlines()
     assert len(lines) == 8
+
+
+@pytest.mark.slow
+def test_prune_tune_partial_trainer_via_include(tmp_path):
+    """The --include plug-in path end-to-end (parity: reference
+    flags_core.py:207-247 + examples/prune_tune): a pruned
+    general-domain checkpoint's DENSE weights stay frozen while only
+    the pruned (zero) slots train on the new data."""
+    from neurst_tpu.cli.run_exp import cli_main
+    general_dir = str(tmp_path / "general")
+    _train(tmp_path, general_dir,
+           ["--train_steps", "30", "--save_checkpoint_steps", "30",
+            "--summary_steps", "30",
+            "--pruning_schedule.class", "constant_sparsity",
+            "--pruning_schedule.params",
+            "{target_sparsity: 0.5, begin_pruning_step: 5, "
+            "pruning_frequency: 5}",
+            "--pruning_variable_pattern", r"ffn/dense\d/kernel"])
+    general = np.load(os.path.join(general_dir, "ckpt-30.npz"))
+
+    tuned_dir = str(tmp_path / "tuned")
+    cli_main(["--entry", "partial_tune",
+              "--include", "examples/prune_tune/src/partial_trainer.py",
+              "--config_paths", TRAIN_YML,
+              "--model_dir", tuned_dir,
+              "--pretrain_model", general_dir,
+              "--mask_dir", general_dir,
+              "--train_steps", "15", "--save_checkpoint_steps", "15",
+              "--summary_steps", "15"])
+    tuned = np.load(os.path.join(tuned_dir, "ckpt-15.npz"))
+
+    checked_frozen = checked_tuned = 0
+    for k in general.files:
+        if not (("ffn/dense" in k) and k.endswith("kernel")):
+            continue
+        g, t = general[k], tuned[k]
+        dense = g != 0
+        # dense subnetwork untouched
+        np.testing.assert_array_equal(t[dense], g[dense], err_msg=k)
+        checked_frozen += int(dense.sum())
+        # pruned slots received updates
+        changed = float((t[~dense] != 0).mean())
+        assert changed > 0.5, (k, changed)
+        checked_tuned += int((~dense).sum())
+    assert checked_frozen > 0 and checked_tuned > 0
