@@ -1,0 +1,131 @@
+"""CLI end-to-end coverage for the language-model and multilingual
+translation tasks (parity: reference tasks/language_model.py and
+tasks/multilingual_translation.py + their example configs)."""
+
+import os
+
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_lm_train_and_eval_ppl(tmp_path):
+    """GPT-2 style LM: CLI train on mono text, then the eval entry
+    reports a finite PPL on held-out text."""
+    from neurst_tpu.cli.run_exp import cli_main
+    os.chdir(REPO)
+    cfg = {
+        "task.class": "lm",
+        "task.params": {
+            "data_pipeline.class": "TextDataPipeline",
+            "data_pipeline.params": {
+                "vocab_path": "tests/examples/vocab.txt"},
+            "batch_size": 64, "batch_by_tokens": True,
+            "max_len": 16},
+        "dataset.class": "mono_text",
+        "dataset.params": {"data_file": "tests/examples/train.src"},
+        "model.class": "gpt2",
+        "model.params": {
+            "num_layers": 1, "hidden_size": 16,
+            "num_attention_heads": 2, "filter_size": 32,
+            "max_position_embeddings": 32},
+        "dtype": "float32",
+        "entry.params": {
+            "criterion.class": "label_smoothed_cross_entropy",
+            "lr_schedule.class": "constant",
+            "lr_schedule.params": {"learning_rate": 1e-3},
+            "train_steps": 10, "summary_steps": 10,
+            "save_checkpoint_steps": 10},
+    }
+    cfg_path = tmp_path / "lm.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    model_dir = str(tmp_path / "lm_model")
+    cli_main(["--entry", "train", "--config_paths", str(cfg_path),
+              "--model_dir", model_dir])
+    assert os.path.exists(os.path.join(model_dir, "ckpt-10.npz"))
+
+    res = cli_main(["--entry", "eval", "--model_dir", model_dir,
+                    "--dataset.class", "mono_text",
+                    "--dataset.params",
+                    "{data_file: tests/examples/dev.src}",
+                    "--batch_size", "64"])
+    assert res["PPL"] > 1.0 and res["PPL"] < 1e9
+
+
+@pytest.mark.slow
+def test_multilingual_train_and_predict(tmp_path):
+    """Many-to-many MT: two directions (en<->fr over the reversal
+    corpus) mixed by explicit ratios, language-tagged; per-direction
+    predict scores BLEU."""
+    from neurst_tpu.cli.run_exp import cli_main
+    os.chdir(REPO)
+    directions = {
+        "en2fr": {"dataset.class": "multilingual_translation_dataset",
+                  "dataset.params": {
+                      "src_file": "tests/examples/train.src",
+                      "trg_file": "tests/examples/train.trg",
+                      "src_lang": "en", "trg_lang": "fr"}},
+        "fr2en": {"dataset.class": "multilingual_translation_dataset",
+                  "dataset.params": {
+                      "src_file": "tests/examples/train.trg",
+                      "trg_file": "tests/examples/train.src",
+                      "src_lang": "fr", "trg_lang": "en"}},
+    }
+    cfg = {
+        "task.class": "multilingual_translation",
+        "task.params": {
+            "multilingual_dp.params": {
+                "vocab_path": "tests/examples/vocab.txt",
+                "languages": ["en", "fr"],
+                "tokenizer": None},
+            "with_src_lang_tag": True,
+            "trg_lang_tag_position": "trg",
+            "batch_size": 64, "batch_by_tokens": True,
+            "max_src_len": 18, "max_trg_len": 18},
+        "dataset.class": "mixed_train",
+        "dataset.params": {
+            "data_files": directions,
+            "data_sampler.class": "data_sampler",
+            "data_sampler.params": {"sample_ratios": {"en2fr": 0.5,
+                                                      "fr2en": 0.5}}},
+        "model.class": "transformer",
+        "model.params": {
+            "modality.share_source_target_embedding": True,
+            "modality.share_embedding_and_softmax_weights": True,
+            "modality.dim": 16, "modality.timing": "sinusoids",
+            "encoder.num_layers": 1, "encoder.hidden_size": 16,
+            "encoder.num_attention_heads": 2, "encoder.filter_size": 32,
+            "decoder.num_layers": 1, "decoder.hidden_size": 16,
+            "decoder.num_attention_heads": 2, "decoder.filter_size": 32},
+        "dtype": "float32",
+        "entry.params": {
+            "criterion.class": "label_smoothed_cross_entropy",
+            "lr_schedule.class": "constant",
+            "lr_schedule.params": {"learning_rate": 1e-3},
+            "train_steps": 10, "summary_steps": 10,
+            "save_checkpoint_steps": 10},
+    }
+    cfg_path = tmp_path / "ml.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    model_dir = str(tmp_path / "ml_model")
+    cli_main(["--entry", "train", "--config_paths", str(cfg_path),
+              "--model_dir", model_dir])
+    assert os.path.exists(os.path.join(model_dir, "ckpt-10.npz"))
+
+    result = cli_main(
+        ["--entry", "predict", "--model_dir", model_dir,
+         "--dataset.class", "multilingual_translation_dataset",
+         "--dataset.params", yaml.safe_dump({
+             "src_file": "tests/examples/dev.src",
+             "trg_file": "tests/examples/dev.trg",
+             "src_lang": "en", "trg_lang": "fr"}),
+         "--search_method.params",
+         "{beam_size: 2, maximum_decode_length: 20}",
+         "--metric", "bleu"])
+    assert result["samples"] == 24
+    assert "BLEU" in result
+    # language tags must never leak into the hypotheses
+    for h in result["hypotheses"]:
+        assert "<fr>" not in h and "<en>" not in h, h
