@@ -227,3 +227,30 @@ def test_prune_tune_partial_trainer_via_include(tmp_path):
         assert changed > 0.5, (k, changed)
         checked_tuned += int((~dense).sum())
     assert checked_frozen > 0 and checked_tuned > 0
+
+
+@pytest.mark.slow
+def test_ensemble_predict_cli(tmp_path):
+    """Comma-separated model_dirs -> prob-space ensemble decode
+    (parity: reference sequence_generator.py:86-109). An ensemble of
+    the SAME checkpoint twice must reproduce the single-model decode."""
+    from neurst_tpu.cli.run_exp import cli_main
+    model_dir = str(tmp_path / "model")
+    _train(tmp_path, model_dir,
+           ["--train_steps", "20", "--save_checkpoint_steps", "20",
+            "--summary_steps", "10"])
+
+    def predict(md):
+        return cli_main(
+            ["--entry", "predict", "--model_dir", md,
+             "--dataset.class", "parallel_text",
+             "--dataset.params", "{src_file: tests/examples/dev.src, "
+                                 "trg_file: tests/examples/dev.trg}",
+             "--search_method.params",
+             "{beam_size: 2, maximum_decode_length: 16}",
+             "--metric", "bleu"])
+
+    single = predict(model_dir)
+    ensemble = predict(f"{model_dir},{model_dir}")
+    assert ensemble["samples"] == 24
+    assert ensemble["hypotheses"] == single["hypotheses"]
