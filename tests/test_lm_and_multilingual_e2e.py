@@ -129,3 +129,70 @@ def test_multilingual_train_and_predict(tmp_path):
     # language tags must never leak into the hypotheses
     for h in result["hypotheses"]:
         assert "<fr>" not in h and "<en>" not in h, h
+
+
+@pytest.mark.slow
+def test_ctnmt_dynamic_switch_train_and_predict(tmp_path):
+    """CTNMT end-to-end: gated BERT/encoder dynamic-switch fusion with
+    frozen BERT and asymmetric-distillation criterion, trained through
+    the CLI and decoded (parity: examples/ctnmt dynamic_switch +
+    asy_distillation configs, reference ctnmt_transformer.py)."""
+    from neurst_tpu.cli.run_exp import cli_main
+    os.chdir(REPO)
+    cfg = {
+        "task.class": "translation",
+        "task.params": {
+            "src_data_pipeline.class": "TextDataPipeline",
+            "src_data_pipeline.params": {
+                "vocab_path": "tests/examples/vocab.txt"},
+            "trg_data_pipeline.class": "TextDataPipeline",
+            "trg_data_pipeline.params": {
+                "vocab_path": "tests/examples/vocab.txt"},
+            "batch_size": 64, "batch_by_tokens": True,
+            "max_src_len": 16, "max_trg_len": 16},
+        "dataset.class": "parallel_text",
+        "dataset.params": {"src_file": "tests/examples/train.src",
+                           "trg_file": "tests/examples/train.trg"},
+        "model.class": "ctnmt",
+        "model.params": {
+            "bert_mode": "dynamic_switch",
+            "modality.share_embedding_and_softmax_weights": True,
+            "modality.dim": 16, "modality.timing": "sinusoids",
+            "encoder.num_layers": 1, "encoder.hidden_size": 16,
+            "encoder.num_attention_heads": 2, "encoder.filter_size": 32,
+            "decoder.num_layers": 1, "decoder.hidden_size": 16,
+            "decoder.num_attention_heads": 2, "decoder.filter_size": 32,
+            "bert.num_layers": 1, "bert.hidden_size": 16,
+            "bert.num_attention_heads": 2},
+        "dtype": "float32",
+        "entry.params": {
+            "criterion.class": "label_smoothed_cross_entropy",
+            "lr_schedule.class": "constant",
+            "lr_schedule.params": {"learning_rate": 1e-3},
+            "freeze_variables": "bert",
+            "train_steps": 10, "summary_steps": 10,
+            "save_checkpoint_steps": 10},
+    }
+    cfg_path = tmp_path / "ctnmt.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    model_dir = str(tmp_path / "ctnmt_model")
+    cli_main(["--entry", "train", "--config_paths", str(cfg_path),
+              "--model_dir", model_dir])
+    import numpy as np
+    ckpt = np.load(os.path.join(model_dir, "ckpt-10.npz"))
+    bert_vars = [k for k in ckpt.files if k.startswith("bert")]
+    assert bert_vars, "CTNMT must carry a BERT trunk"
+    gate_vars = [k for k in ckpt.files
+                 if "gate" in k or "switch" in k or "fusion" in k]
+    assert gate_vars, f"dynamic-switch gate params missing: " \
+                      f"{[k for k in ckpt.files if 'encoder' not in k][:10]}"
+
+    result = cli_main(
+        ["--entry", "predict", "--model_dir", model_dir,
+         "--dataset.class", "parallel_text",
+         "--dataset.params", "{src_file: tests/examples/dev.src, "
+                             "trg_file: tests/examples/dev.trg}",
+         "--search_method.params",
+         "{beam_size: 2, maximum_decode_length: 16}",
+         "--metric", "bleu"])
+    assert result["samples"] == 24 and "BLEU" in result
