@@ -196,3 +196,30 @@ def test_ctnmt_dynamic_switch_train_and_predict(tmp_path):
          "{beam_size: 2, maximum_decode_length: 16}",
          "--metric", "bleu"])
     assert result["samples"] == 24 and "BLEU" in result
+
+
+@pytest.mark.slow
+def test_lightconv_train_and_predict(tmp_path):
+    """Pay-Less-Attention light convolutions end-to-end through the CLI
+    (parity: reference light_convolution_model.py + layers)."""
+    from neurst_tpu.cli.run_exp import cli_main
+    os.chdir(REPO)
+    model_dir = str(tmp_path / "lc_model")
+    cli_main(["--entry", "train",
+              "--config_paths", "tests/examples/example_train_seq2seq.yml",
+              "--model_dir", model_dir,
+              "--model.class", "light_convolution_model",
+              "--hparams_set", "lightconv_toy",
+              "--train_steps", "10", "--summary_steps", "10",
+              "--save_checkpoint_steps", "10"])
+    assert os.path.exists(os.path.join(model_dir, "ckpt-10.npz"))
+
+    result = cli_main(
+        ["--entry", "predict", "--model_dir", model_dir,
+         "--dataset.class", "parallel_text",
+         "--dataset.params", "{src_file: tests/examples/dev.src, "
+                             "trg_file: tests/examples/dev.trg}",
+         "--search_method.params",
+         "{beam_size: 2, maximum_decode_length: 16}",
+         "--metric", "bleu"])
+    assert result["samples"] == 24 and "BLEU" in result
