@@ -1,0 +1,74 @@
+"""Speech corpus-level decode parity: a reference-TF-TRAINED
+SpeechTransformer (mixed utterance lengths -> the post-conv
+src_length recompute matters) converts and beam-decodes identically
+(fixture: tests/tools/make_reference_speech_corpus_golden.py)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "..", "fixtures",
+                           "reference_goldens")
+GOLDEN = os.path.join(FIXTURE_DIR, "speech_corpus_golden.npz")
+CKPT = os.path.join(FIXTURE_DIR, "speech_corpus_tf_ckpt")
+
+
+def test_trained_speech_checkpoint_reproduces_reference_decode():
+    if not os.path.exists(GOLDEN) or not os.path.isdir(CKPT):
+        pytest.skip("speech corpus fixture not generated")
+    with np.load(GOLDEN) as d:
+        feats = d["feats"]
+        lengths = d["lengths"]
+        ref_ids = d["hypo_ids"]
+        meta = json.loads(bytes(d["__meta__"]).decode())
+
+    from neurst_tpu.layers.search.beam_search import sequence_beam_search
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.utils.checkpoints import unflatten_params
+    from neurst_tpu.utils.converters.converter import build_converter
+
+    cfg = dict(meta["model_params"])
+    cfg["dtype"] = "float32"
+    model = build_model(
+        {"model.class": "speech_transformer", "model.params": cfg},
+        src_meta=meta["src_meta"], trg_meta=meta["trg_meta"])
+    conv = build_converter({"converter.class": "neurst_transformer",
+                            "converter.params": {
+                                "num_heads": meta["num_heads"]}})
+    params = unflatten_params(conv.convert_to_flat(CKPT))
+    init = model.init_params(jax.random.PRNGKey(0))
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(init))
+
+    sp = meta["search_params"]
+    s2l, init_state = model.prepare_generation(
+        params, {"src": feats.astype(np.float32),
+                 "src_length": lengths.astype(np.int32),
+                 "trg_input": np.full([feats.shape[0]],
+                                      meta["trg_meta"]["bos_id"],
+                                      np.int32)},
+        decode_padded_length=sp["maximum_decode_length"])
+    hypos, _ = sequence_beam_search(
+        s2l, init_state, beam_size=sp["beam_size"], top_k=1,
+        length_penalty=sp["length_penalty"],
+        maximum_decode_length=sp["maximum_decode_length"],
+        extra_decode_length=sp["extra_decode_length"],
+        minimum_decode_length=sp["minimum_decode_length"])
+    ours = np.asarray(hypos)
+    eos = meta["trg_meta"]["eos_id"]
+
+    def truncate(row):
+        out = []
+        for t in row:
+            out.append(int(t))
+            if t == eos:
+                break
+        return out
+
+    for i in range(feats.shape[0]):
+        assert truncate(ours[i]) == truncate(ref_ids[i][:ours.shape[1]]), \
+            (i, ours[i].tolist(), ref_ids[i].tolist())
