@@ -134,7 +134,23 @@ class RecordDataset(Dataset):
         def gen():
             idx = 0
             for fpath in files:
-                for record in record_iterator(fpath):
+                # a framing/crc error makes the rest of THIS file
+                # unrecoverable (no resync point in the TFRecord
+                # format); contain it and continue with the next file
+                # — matching tf.data's corrupt-file behavior — so one
+                # bad shard cannot void a whole epoch's buckets
+                records = record_iterator(fpath)
+                while True:
+                    try:
+                        record = next(records)
+                    except StopIteration:
+                        break
+                    except (IOError, EOFError, ValueError) as e:
+                        import logging
+                        logging.warning(
+                            "corrupt record in %s (%s); skipping the "
+                            "rest of this file", fpath, e)
+                        break
                     if total_shards > 1 and idx % total_shards != shard_id:
                         idx += 1
                         continue

@@ -254,3 +254,43 @@ def test_ensemble_predict_cli(tmp_path):
     ensemble = predict(f"{model_dir},{model_dir}")
     assert ensemble["samples"] == 24
     assert ensemble["hypotheses"] == single["hypotheses"]
+
+
+@pytest.mark.slow
+def test_training_survives_corrupt_record_tail(tmp_path, caplog):
+    """A truncated/corrupt record mid-corpus must not kill training:
+    the resilient iterator retries, fast-forwards past consumed batches
+    (no replay), and completes the requested steps (parity: reference
+    gradaccum_keras_model.py:285-300 data-error retry)."""
+    import logging
+
+    from neurst_tpu.cli.run_exp import cli_main
+    from neurst_tpu.data.recordio import RecordWriter, build_example
+    os.chdir(REPO)
+    rng = np.random.RandomState(0)
+    rec = str(tmp_path / "train.tfrecords")
+    with RecordWriter(rec) as w:
+        for _ in range(64):
+            n = rng.randint(3, 10)
+            w.write(build_example({
+                "feature": rng.randint(4, 38, size=n).astype(np.int64),
+                "label": rng.randint(4, 38, size=n).astype(np.int64)}))
+    # corrupt tail: a truncated record header
+    with open(rec, "ab") as f:
+        f.write(b"\xde\xad\xbe\xef")
+
+    model_dir = str(tmp_path / "model")
+    with caplog.at_level(logging.INFO):
+        cli_main(["--entry", "train",
+                  "--config_paths", TRAIN_YML,
+                  "--model_dir", model_dir,
+                  "--dataset.class", "parallel_tfrecord",
+                  "--dataset.params",
+                  f"{{data_path: {rec}, shuffle_files: false}}",
+                  "--train_steps", "12", "--save_checkpoint_steps", "12",
+                  "--summary_steps", "6"])
+    assert os.path.exists(os.path.join(model_dir, "ckpt-12.npz"))
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("corrupt record in" in m for m in msgs), \
+        "the corrupt tail was never encountered"
+    assert any("Training finished at step 12" in m for m in msgs)
