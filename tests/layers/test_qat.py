@@ -128,3 +128,30 @@ def test_quant_off_param_tree_unchanged():
     params = model.init_params(jax.random.PRNGKey(0))
     assert not any(k.endswith("_clip_max")
                    for k in flatten_params(params))
+
+
+def test_qat_forward_in_bfloat16():
+    """QAT layers must compose with the production bf16 compute dtype
+    (clip vars stay f32; fake-quant runs in f32 then casts back)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neurst_tpu.layers.quantization.quant_layers import (
+        QuantDenseGeneral, global_init)
+    global_init(True, quant_bits=8)
+    try:
+        layer = QuantDenseGeneral(features=(1, 2, 4), dtype=jnp.bfloat16)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 3, 8),
+                        jnp.bfloat16)
+        params = layer.init(jax.random.PRNGKey(0), x)
+        flat = jax.tree_util.tree_leaves_with_path(params)
+        for path, leaf in flat:
+            name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
+            if "clip_max" in name:
+                assert leaf.dtype == jnp.float32, name
+        out = layer.apply(params, x)
+        assert out.dtype == jnp.bfloat16
+        assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+    finally:
+        global_init(False)
