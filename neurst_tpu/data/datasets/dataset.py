@@ -21,6 +21,7 @@ multi-host data parallelism is by ``shard_id/total_shards`` round-robin,
 replacing tf.data's ``shard``.
 """
 
+import logging
 from typing import Callable, Iterator, Optional
 
 from neurst_tpu.utils.compat import DataStatus
@@ -139,14 +140,13 @@ class RecordDataset(Dataset):
                 # format); contain it and continue with the next file
                 # — matching tf.data's corrupt-file behavior — so one
                 # bad shard cannot void a whole epoch's buckets
-                records = record_iterator(fpath)
+                records = record_iterator(fpath, check_crc=True)
                 while True:
                     try:
                         record = next(records)
                     except StopIteration:
                         break
                     except (IOError, EOFError, ValueError) as e:
-                        import logging
                         logging.warning(
                             "corrupt record in %s (%s); skipping the "
                             "rest of this file", fpath, e)
@@ -155,7 +155,16 @@ class RecordDataset(Dataset):
                         idx += 1
                         continue
                     idx += 1
-                    example = self.parse_record(parse_example(record))
+                    try:
+                        # framing + crc were valid; a payload that still
+                        # fails to parse is contained to this record
+                        example = self.parse_record(parse_example(record))
+                    except Exception as e:  # noqa: BLE001 - any decode err
+                        logging.warning(
+                            "unparseable record %d in %s (%s: %s); "
+                            "skipped", idx - 1, fpath,
+                            type(e).__name__, e)
+                        continue
                     if map_func is not None:
                         example = map_func(example)
                     if example is not None:

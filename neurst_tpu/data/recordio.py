@@ -107,8 +107,15 @@ class RecordWriter(object):
 
 
 def record_iterator(path: str, check_crc: bool = False) -> Iterator[bytes]:
-    """Yields raw record payloads from a TFRecord file."""
+    """Yields raw record payloads from a TFRecord file.
+
+    Every corruption mode raises IOError (never OverflowError /
+    MemoryError / struct.error): the declared length is bounded by the
+    remaining file size before being used as a read size, and the crc
+    fields are length-checked before unpacking.
+    """
     with open(path, "rb") as f:
+        file_size = os.fstat(f.fileno()).st_size
         while True:
             header = f.read(8)
             if not header:
@@ -116,13 +123,21 @@ def record_iterator(path: str, check_crc: bool = False) -> Iterator[bytes]:
             if len(header) != 8:
                 raise IOError(f"Truncated record header in {path}")
             (length,) = struct.unpack("<Q", header)
+            # a corrupted length field must not drive a giant read
+            if length > file_size - f.tell():
+                raise IOError(
+                    f"Implausible record length {length} in {path}")
             len_crc = f.read(4)
+            if len(len_crc) != 4:
+                raise IOError(f"Truncated record length crc in {path}")
             if check_crc and struct.unpack("<I", len_crc)[0] != _masked_crc(header):
                 raise IOError(f"Corrupted record length crc in {path}")
             data = f.read(length)
             if len(data) != length:
                 raise IOError(f"Truncated record in {path}")
             data_crc = f.read(4)
+            if len(data_crc) != 4:
+                raise IOError(f"Truncated record data crc in {path}")
             if check_crc and struct.unpack("<I", data_crc)[0] != _masked_crc(data):
                 raise IOError(f"Corrupted record data crc in {path}")
             yield data

@@ -18,6 +18,7 @@ CKPT = os.path.join(FIXTURE_DIR, "speech_corpus_tf_ckpt")
 
 
 def test_trained_speech_checkpoint_reproduces_reference_decode():
+    pytest.importorskip("tensorflow")  # TF-checkpoint reading path
     if not os.path.exists(GOLDEN) or not os.path.isdir(CKPT):
         pytest.skip("speech corpus fixture not generated")
     with np.load(GOLDEN) as d:

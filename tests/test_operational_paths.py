@@ -294,3 +294,51 @@ def test_training_survives_corrupt_record_tail(tmp_path, caplog):
     assert any("corrupt record in" in m for m in msgs), \
         "the corrupt tail was never encountered"
     assert any("Training finished at step 12" in m for m in msgs)
+
+
+def test_record_corruption_modes_contained(tmp_path):
+    """Every corruption mode must be contained (review findings): a
+    payload bit-flip (caught by crc), an implausible length field, and
+    a truncated tail each skip the rest of that FILE while other files
+    keep flowing — and never raise OverflowError/MemoryError."""
+    import struct
+
+    from neurst_tpu.data.datasets.dataset import build_dataset
+    from neurst_tpu.data.recordio import RecordWriter, build_example
+    rng = np.random.RandomState(0)
+
+    def write_file(path, n):
+        with RecordWriter(path) as w:
+            for _ in range(n):
+                m = rng.randint(3, 8)
+                w.write(build_example({
+                    "feature": rng.randint(4, 30, size=m).astype(np.int64),
+                    "label": rng.randint(4, 30, size=m).astype(np.int64)}))
+
+    d = tmp_path / "records"
+    d.mkdir()
+    good, bitflip, hugelen = (str(d / f"train-{i}") for i in range(3))
+    write_file(good, 5)
+    write_file(bitflip, 5)
+    write_file(hugelen, 5)
+
+    # bit-flip a payload byte mid-file (framing intact, crc wrong)
+    data = bytearray(open(bitflip, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(bitflip, "wb").write(bytes(data))
+
+    # corrupt a length field to a huge value
+    data = bytearray(open(hugelen, "rb").read())
+    (first_len,) = struct.unpack("<Q", bytes(data[:8]))
+    second = 8 + 4 + first_len + 4
+    data[second:second + 8] = struct.pack("<Q", 1 << 50)
+    open(hugelen, "wb").write(bytes(data))
+
+    ds = build_dataset({"dataset.class": "parallel_tfrecord",
+                        "dataset.params": {"data_path": str(d),
+                                           "shuffle_files": False}})
+    examples = list(ds.build_iterator()())
+    # good file fully read; corrupt files contribute their valid prefix
+    assert 5 < len(examples) < 15
+    for ex in examples:
+        assert 3 <= len(ex["feature"]) <= 8
