@@ -36,6 +36,24 @@ class Criterion(object):
         """Scalar training loss."""
         raise NotImplementedError
 
+    def reduce_loss_terms(self, model_inp: dict, model_out):
+        """Decomposed loss ``(loss_sum, denom)`` for exact gradient
+        accumulation: the big-batch loss over several micro-batches is
+        ``sum(loss_sums) / sum(denoms)``.  Criterions whose
+        ``reduce_loss`` normalizes by a batch-dependent quantity (e.g.
+        token count) must override this so ragged micro-batches match
+        big-batch semantics (parity target:
+        /root/reference/neurst/training/gradaccum_keras_model.py:162-260
+        accumulates raw gradients of the *same* normalized loss across
+        the update cycle — which equally weights micro-batches; we
+        instead reproduce exact big-batch weighting).
+
+        Default: ``(reduce_loss, 1)`` — equal micro-batch weighting.
+        """
+        import jax.numpy as jnp
+        return (self.reduce_loss(model_inp, model_out),
+                jnp.asarray(1.0, jnp.float32))
+
     def reduce_metrics(self, eval_res_list) -> dict:
         """Aggregates statistics from many batches into eval metrics."""
         raise NotImplementedError

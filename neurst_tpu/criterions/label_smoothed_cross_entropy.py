@@ -99,6 +99,12 @@ class LabelSmoothedCrossEntropy(Criterion):
         nll_sum, _, n_tokens = self(model_inp, model_out)
         return jnp.sum(nll_sum) / jnp.maximum(jnp.sum(n_tokens), 1.0)
 
+    def reduce_loss_terms(self, model_inp, model_out):
+        """(sum of token nlls, token count): grad accumulation over
+        ragged micro-batches then matches one big batch exactly."""
+        nll_sum, _, n_tokens = self(model_inp, model_out)
+        return jnp.sum(nll_sum), jnp.sum(n_tokens)
+
     def reduce_metrics(self, eval_res_list) -> dict:
         nll, samples, tokens = 0.0, 0.0, 0.0
         for _nll, _s, _t in eval_res_list:

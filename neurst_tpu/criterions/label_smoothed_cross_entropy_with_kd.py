@@ -53,6 +53,15 @@ class LabelSmoothedCrossEntropyWithKd(LabelSmoothedCrossEntropy):
                  help="The distillation softmax temperature."),
         ]
 
+    def reduce_loss_terms(self, model_inp, model_out):
+        """Token-weighted terms.  Exact for the logit-KD branch (the KD
+        KL shares the CE's trg-token normalizer); for the CTNMT
+        state-MSE branch the KD normalizer is source positions, so
+        token weighting is a close approximation rather than exact."""
+        _, _, n_tokens = self(model_inp, model_out)
+        n = jnp.sum(n_tokens)
+        return self.reduce_loss(model_inp, model_out) * n, n
+
     def reduce_loss(self, model_inp, model_out):
         ce = super().reduce_loss(model_inp, model_out)
         logits = model_out["logits"] if isinstance(model_out, dict) \

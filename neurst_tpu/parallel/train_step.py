@@ -66,9 +66,15 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
                             rngs={"dropout": rng})
         return criterion.reduce_loss(batch, logits)
 
+    def _forward_terms(params, batch, rng):
+        logits = model.call(params, batch, is_training=True,
+                            rngs={"dropout": rng})
+        return criterion.reduce_loss_terms(batch, logits)
+
     if remat:
         # recompute activations in backward: HBM for FLOPs (SURVEY §0)
         _forward = jax.checkpoint(_forward)
+        _forward_terms = jax.checkpoint(_forward_terms)
 
     def loss_fn(params, batch, rng):
         if params_transform is not None:
@@ -78,28 +84,52 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
             loss = loss + extra_loss_fn(params)
         return loss
 
+    def terms_fn(params, batch, rng):
+        if params_transform is not None:
+            params = params_transform(params)
+        loss_sum, denom = _forward_terms(params, batch, rng)
+        return loss_sum, denom
+
+    def extra_fn(params):
+        if params_transform is not None:
+            params = params_transform(params)
+        return extra_loss_fn(params)
+
     def compute_grads(params, batch, rng):
         if update_cycle == 1:
             loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
             return loss, grads
 
+        # Accumulate (loss_sum, denom) and the gradients of the *raw*
+        # loss sums, then normalize once: ragged micro-batches (unequal
+        # token counts from bucketed data) match big-batch semantics
+        # exactly, unlike per-micro-batch normalization, which weights
+        # micro-batches equally regardless of tokens.
         def micro_step(carry, micro_batch_and_rng):
-            acc_loss, acc_grads = carry
+            acc_loss, acc_denom, acc_grads = carry
             micro_batch, micro_rng = micro_batch_and_rng
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, micro_batch, micro_rng)
+            (loss_sum, denom), grads = jax.value_and_grad(
+                terms_fn, has_aux=True)(params, micro_batch, micro_rng)
             acc_grads = jax.tree_util.tree_map(
                 lambda a, g: a + g, acc_grads, grads)
-            return (acc_loss + loss, acc_grads), None
+            return (acc_loss + loss_sum, acc_denom + denom, acc_grads), None
 
         zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
         rngs = jax.random.split(rng, update_cycle)
-        (loss_sum, grads), _ = jax.lax.scan(
-            micro_step, (jnp.zeros([], jnp.float32), zero_grads),
+        (loss_sum, denom, grads), _ = jax.lax.scan(
+            micro_step, (jnp.zeros([], jnp.float32),
+                         jnp.zeros([], jnp.float32), zero_grads),
             (batch, rngs))
-        inv = 1.0 / update_cycle
+        inv = 1.0 / jnp.maximum(denom, 1e-8)
         grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
-        return loss_sum * inv, grads
+        loss = loss_sum * inv
+        if extra_loss_fn is not None:
+            # batch-independent regularizer: added once, not per micro
+            extra_val, extra_grads = jax.value_and_grad(extra_fn)(params)
+            loss = loss + extra_val
+            grads = jax.tree_util.tree_map(
+                lambda a, g: a + g, grads, extra_grads)
+        return loss, grads
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)

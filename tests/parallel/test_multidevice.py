@@ -33,18 +33,27 @@ def _toy_model():
                        src_meta=META, trg_meta=META)
 
 
-def _batch(batch_size=8, src_len=6, trg_len=5, seed=0):
-    # fixed-length rows, no padding: keeps per-micro-batch token counts
-    # equal so grad-accum averaging is exactly equivalent
+def _batch(batch_size=8, src_len=6, trg_len=5, seed=0, ragged=True):
+    # ragged rows by default: per-row lengths differ, so micro-batches
+    # carry unequal token counts — grad accumulation must still equal
+    # big-batch semantics (token-weighted accumulation in train_step)
     rng = np.random.RandomState(seed)
+    src_lens = (rng.randint(2, src_len + 1, size=[batch_size])
+                if ragged else np.full([batch_size], src_len))
+    trg_lens = (rng.randint(2, trg_len + 1, size=[batch_size])
+                if ragged else np.full([batch_size], trg_len))
+    src_pad = (np.arange(src_len)[None, :]
+               >= src_lens[:, None]).astype(np.float32)
+    trg_pad = (np.arange(trg_len)[None, :]
+               >= trg_lens[:, None]).astype(np.float32)
     return {
         "src": rng.randint(3, 20, size=[batch_size, src_len]).astype(np.int32),
-        "src_padding": np.zeros([batch_size, src_len], np.float32),
+        "src_padding": src_pad,
         "trg_input": rng.randint(3, 20,
                                  size=[batch_size, trg_len]).astype(np.int32),
         "trg": rng.randint(3, 20, size=[batch_size, trg_len]).astype(np.int32),
-        "trg_padding": np.zeros([batch_size, trg_len], np.float32),
-        "trg_length": np.full([batch_size], trg_len, np.int32),
+        "trg_padding": trg_pad,
+        "trg_length": trg_lens.astype(np.int32),
         "sample_mask": np.ones([batch_size], np.float32),
     }
 
@@ -156,11 +165,19 @@ def test_tp2_forward_matches_unsharded(meshes):
 
 def test_grad_accum_equals_big_batch(meshes):
     """update_cycle=4 over 2-example micro-batches == one 8-example
-    batch (identical per-micro token counts make this exact)."""
+    batch, with RAGGED rows (unequal per-micro token counts): the
+    token-weighted accumulation must reproduce big-batch normalization
+    exactly."""
     model = _toy_model()
+    host = _batch(seed=12)
+    # sanity: the micro-batches really have unequal token counts
+    micro_tokens = (5 - host["trg_padding"].sum(axis=1)).reshape(4, 2).sum(1)
+    assert len(set(micro_tokens.tolist())) > 1
     losses_acc, params_acc = _run_steps(model, meshes["single"],
-                                        n_steps=2, update_cycle=4)
-    losses_big, params_big = _run_steps(model, meshes["single"], n_steps=2)
+                                        n_steps=2, update_cycle=4,
+                                        batch_seed=12)
+    losses_big, params_big = _run_steps(model, meshes["single"], n_steps=2,
+                                        batch_seed=12)
     np.testing.assert_allclose(losses_acc, losses_big, rtol=0, atol=1e-5)
     assert _max_tree_diff(params_acc, params_big) < 1e-5
 
