@@ -111,13 +111,24 @@ class MultiHeadAttention(nn.Module):
         return kv[:, :, 0], kv[:, :, 1]
 
     def __call__(self, query, memory=None, bias=None, cache=None,
-                 is_training=False) -> Tuple[jnp.ndarray, Optional[dict]]:
-        """Returns (output [B, F, out_depth], cache passthrough)."""
+                 is_training=False, flash_lengths=None
+                 ) -> Tuple[jnp.ndarray, Optional[dict]]:
+        """Returns (output [B, F, out_depth], cache passthrough).
+
+        With ``flash_lengths`` (valid KEY counts; no cache), the Pallas
+        flash kernel computes the attention without materializing the
+        [F, T] probability matrix; attention-probability dropout is
+        skipped on that path (the kernel applies none).
+        """
         q = self.q_transform(query)[:, :, 0]
         if cache is not None:
             k, v = cache["keys"], cache["values"]
         else:
             k, v = self.compute_kv(memory)
+        if cache is None and flash_lengths is not None:
+            from neurst_tpu.ops.flash_attention import flash_attention
+            out = flash_attention(q, k, v, lengths=flash_lengths)
+            return self.output_transform(out), cache
         return self._attend(q, k, v, bias, is_training), cache
 
 
@@ -136,6 +147,9 @@ class MultiHeadSelfAttention(MultiHeadAttention):
         With ``flash_lengths`` (and no cache), the Pallas flash kernel
         computes the attention (padding via lengths; optional causal),
         never materializing the [F, T] probability matrix in HBM.
+        Differentiable (custom VJP with blockwise recompute), so it
+        serves training too; attention-probability dropout is skipped
+        on this path (the kernel applies none — callers warn once).
 
         With ``ring_axis`` (and no cache), the time axis is treated as
         sharded over that mesh axis and attention runs as a
@@ -159,9 +173,7 @@ class MultiHeadSelfAttention(MultiHeadAttention):
                                       lengths=ring_lengths,
                                       causal=flash_causal)
             return self.output_transform(out), cache
-        if cache is None and flash_lengths is not None \
-                and not is_training:
-            # inference only: the pallas kernel defines no AD rule
+        if cache is None and flash_lengths is not None:
             from neurst_tpu.ops.flash_attention import flash_attention
             out = flash_attention(q, k, v, lengths=flash_lengths,
                                   causal=flash_causal)

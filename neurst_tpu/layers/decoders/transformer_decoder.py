@@ -49,6 +49,7 @@ class TransformerDecoder(nn.Module):
     post_normalize: bool = False
     layer_postprocess_epsilon: float = 1e-6
     with_cross_attention: bool = True
+    enable_flash_attention: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -105,9 +106,18 @@ class TransformerDecoder(nn.Module):
 
         Returns (outputs, new_cache).
         """
+        # Flash path (teacher forcing only): causal self-attention
+        # needs no key-length mask (right-padded targets are never
+        # behind a valid query position), and cross-attention masking
+        # is exactly per-row valid source lengths.  Wait-k lagging
+        # masks are arbitrary, so they stay on the dense path.
+        use_flash = (self.enable_flash_attention and decode_step is None
+                     and cache is None and decode_lagging is None)
+        self_bias = None
         if decode_step is None:
             length = inputs.shape[1]
-            self_bias = layer_utils.causal_self_attention_bias(length)
+            if not use_flash:
+                self_bias = layer_utils.causal_self_attention_bias(length)
         else:
             length = 1
             max_len = cache["layer_0"]["self"]["keys"].shape[1]
@@ -116,7 +126,12 @@ class TransformerDecoder(nn.Module):
                                   layer_utils.NEG_INF)[None, None, None, :]
 
         memory_bias = None
-        if self.with_cross_attention and memory_padding is not None:
+        cross_flash_lengths = None
+        if self.with_cross_attention and memory_padding is not None \
+                and use_flash:
+            cross_flash_lengths = jnp.sum(
+                1.0 - memory_padding, axis=1).astype(jnp.int32)
+        elif self.with_cross_attention and memory_padding is not None:
             memory_bias = layer_utils.input_padding_to_bias(memory_padding)
             if decode_lagging is not None:
                 src_len = memory_padding.shape[1]
@@ -138,7 +153,9 @@ class TransformerDecoder(nn.Module):
             x, upd = layer(
                 x, self_attention_bias=self_bias, memory=memory,
                 memory_bias=memory_bias, cache=layer_cache,
-                decode_step=decode_step, is_training=is_training)
+                decode_step=decode_step, is_training=is_training,
+                self_flash_causal=use_flash,
+                cross_flash_lengths=cross_flash_lengths)
             if new_cache is not None:
                 new_cache[f"layer_{i}"] = upd
         if not self.post_normalize:

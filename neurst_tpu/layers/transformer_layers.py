@@ -129,15 +129,27 @@ class TransformerDecoderLayer(_LayerCommon):
 
     def __call__(self, x, self_attention_bias=None, memory=None,
                  memory_bias=None, cache: Optional[dict] = None,
-                 decode_step=None, is_training=False):
-        """Returns (output, new_cache)."""
+                 decode_step=None, is_training=False,
+                 self_flash_causal=False, cross_flash_lengths=None):
+        """Returns (output, new_cache).
+
+        ``self_flash_causal=True`` (teacher-forcing path only) runs the
+        causal self-attention through the flash kernel instead of the
+        bias; ``cross_flash_lengths`` does the same for cross-attention
+        with per-row valid source lengths.
+        """
         new_cache = {} if cache is not None else None
 
         def self_fn(y):
             return self.self_attention(
                 y, bias=self_attention_bias,
                 cache=None if cache is None else cache.get("self"),
-                decode_step=decode_step, is_training=is_training)
+                decode_step=decode_step, is_training=is_training,
+                flash_lengths=(jnp.full((y.shape[0],), y.shape[1],
+                                        jnp.int32)
+                               if self_flash_causal and cache is None
+                               else None),
+                flash_causal=self_flash_causal)
 
         x, self_upd = self._prepost(self.self_attention_ln, x, self_fn,
                                     is_training)
@@ -149,7 +161,8 @@ class TransformerDecoderLayer(_LayerCommon):
                 out, _ = self.cross_attention(
                     y, memory=memory, bias=memory_bias,
                     cache=None if cache is None else cache.get("memory"),
-                    is_training=is_training)
+                    is_training=is_training,
+                    flash_lengths=cross_flash_lengths)
                 return out, None
 
             x, _ = self._prepost(self.cross_attention_ln, x, cross_fn,

@@ -103,13 +103,25 @@ class Seq2SeqModule(nn.Module):
                             dropped)
         return out
 
+    @staticmethod
+    def _warn_flash_dropout(cfg, which):
+        import logging
+        if cfg.get("enable_flash_attention") \
+                and float(cfg.get("attention_dropout_rate") or 0.0) > 0:
+            logging.warning(
+                "%s: flash attention skips attention-probability dropout "
+                "(rate=%s); other dropouts still apply.", which,
+                cfg.get("attention_dropout_rate"))
+
     # Overridable in subclasses (speech, waitk, lightconv ...)
     def build_encoder(self):
         cfg = self.filter_fields(TransformerEncoder, self.encoder_cfg)
+        self._warn_flash_dropout(cfg, "encoder")
         return TransformerEncoder(dtype=self.dtype, name="encoder", **cfg)
 
     def build_decoder(self):
         cfg = self.filter_fields(TransformerDecoder, self.decoder_cfg)
+        self._warn_flash_dropout(cfg, "decoder")
         return TransformerDecoder(dtype=self.dtype, name="decoder", **cfg)
 
     def embed_source(self, src, is_training=False):

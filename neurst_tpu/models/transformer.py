@@ -76,6 +76,14 @@ def _encdec_flags(prefix):
                       dtype=Flag.TYPE.STRING, default="data",
                       help="The mesh axis the sequence is sharded over "
                            "when encoder.enable_ring_attention is on."))
+    if prefix == "decoder":
+        f.append(Flag("decoder.enable_flash_attention",
+                      dtype=Flag.TYPE.BOOLEAN, default=None,
+                      help="Use the Pallas flash-attention kernel for "
+                           "decoder self- and cross-attention during "
+                           "teacher forcing (training/eval); stepwise "
+                           "decode keeps the kv-cache path.  Skips "
+                           "attention-probability dropout."))
     return f
 
 

@@ -11,26 +11,35 @@
 # WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
 # See the License for the specific language governing permissions and
 # limitations under the License.
-"""Flash attention for TPU (Pallas).
+"""Flash attention for TPU (Pallas) — trainable (custom VJP).
 
 Memory-light attention: never materializes the [T_q, T_k] probability
 matrix in HBM — each q-block streams over k-blocks with an online
 softmax (running max + normalizer), keeping everything in VMEM.  This
 is the hot op of long-sequence speech encoding (3000-frame fbank inputs
 make the naive [B, N, T, T] logits tensor the HBM bottleneck,
-SURVEY.md §7).
+SURVEY.md §7) and of the training step in general: even at T=128 the
+dense path round-trips a float32 [B, N, T, T] tensor through HBM for
+every layer in forward AND backward.
+
+Differentiable: a ``jax.custom_vjp`` with a FlashAttention-2 style
+backward — the forward saves (q, k, v, o, logsumexp) and the backward
+recomputes attention probabilities blockwise in two Pallas kernels
+(dq over q-blocks; dk/dv over k-blocks), so the [T_q, T_k] matrix is
+never materialized in the backward either.
 
 Supports sequence masking via per-example key lengths and causal
-masking.  Inference-only: the kernel defines no AD rule, and callers
-gate it off during training (see MultiHeadSelfAttention).
+masking.  Attention-probability dropout is NOT applied inside the
+kernel; callers that train with ``attention_dropout_rate > 0`` skip
+that dropout on the flash path (see MultiHeadSelfAttention).
 """
 
 import functools
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -39,13 +48,14 @@ __all__ = ["flash_attention"]
 NEG_INF = -1.0e30
 
 
-def _flash_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *,
-                  block_k: int, causal: bool, scale: float):
+def _fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                block_k: int, causal: bool, scale: float):
     """One (batch*head, q_block) program.
 
-    q_ref: [block_q, head_dim]; k_ref/v_ref: [t_k, head_dim] (VMEM);
-    lengths_ref: SMEM [1] valid key length for this batch*head row;
-    o_ref: [block_q, head_dim].
+    q_ref: [1, block_q, head_dim]; k_ref/v_ref: [1, t_k, head_dim]
+    (VMEM); lengths_ref: SMEM [B*N] valid key length per row;
+    o_ref: [1, block_q, head_dim]; lse_ref: [1, block_q] float32
+    row logsumexp (saved for the backward).
     """
     _, block_q, head_dim = q_ref.shape
     t_k = k_ref.shape[1]
@@ -96,42 +106,131 @@ def _flash_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *,
     else:
         acc, m, l = jax.lax.fori_loop(0, num_kb, body, init)
     o_ref[0] = (acc / jnp.maximum(l, 1e-20)[:, None]).astype(o_ref.dtype)
+    lse_ref[0] = jnp.where(l > 0.0, m + jnp.log(jnp.maximum(l, 1e-37)),
+                           NEG_INF)
+
+
+def _dq_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+               delta_ref, dq_ref, *, block_k: int, causal: bool,
+               scale: float):
+    """dQ for one (batch*head, q_block) program: stream over k-blocks,
+    recomputing probabilities from the saved logsumexp."""
+    _, block_q, head_dim = q_ref.shape
+    t_k = k_ref.shape[1]
+    qi = pl.program_id(1)
+    valid_len = lengths_ref[pl.program_id(0)]
+
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+    num_kb = t_k // block_k
+
+    def body(j, acc):
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        col = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = col < valid_len
+        if causal:
+            row = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            mask = jnp.logical_and(mask, col <= row)
+        s = jnp.where(mask, s, NEG_INF)
+        p = jnp.exp(s - lse[:, None])
+        p = jnp.where(mask, p, 0.0)
+        # dp = dO V^T ; ds = p * (dp - delta)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])
+        return acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if causal:
+        upper = jnp.minimum(num_kb, (qi + 1) * block_q // block_k
+                            + (1 if block_q % block_k else 0) + 1)
+        upper = jnp.minimum(upper, num_kb)
+        acc = jax.lax.fori_loop(
+            0, upper, body, jnp.zeros((block_q, head_dim), jnp.float32))
+    else:
+        acc = jax.lax.fori_loop(
+            0, num_kb, body, jnp.zeros((block_q, head_dim), jnp.float32))
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(lengths_ref, k_ref, v_ref, q_ref, do_ref, lse_ref,
+                delta_ref, dk_ref, dv_ref, *, block_q: int, causal: bool,
+                scale: float):
+    """dK/dV for one (batch*head, k_block) program: stream over
+    q-blocks."""
+    _, block_k, head_dim = k_ref.shape
+    t_q = q_ref.shape[1]
+    ki = pl.program_id(1)
+    valid_len = lengths_ref[pl.program_id(0)]
+
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    num_qb = t_q // block_q
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q)]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q)]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        col = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = col < valid_len
+        if causal:
+            row = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            mask = jnp.logical_and(mask, col <= row)
+        s = jnp.where(mask, s, NEG_INF)
+        p = jnp.exp(s - lse[:, None])
+        p = jnp.where(mask, p, 0.0)
+        # dv += P^T dO
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])
+        # dk += dS^T Q
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    init = (jnp.zeros((block_k, head_dim), jnp.float32),
+            jnp.zeros((block_k, head_dim), jnp.float32))
+    if causal:
+        # only q-blocks at or after this k-block contribute
+        lower = (ki * block_k) // block_q
+        dk_acc, dv_acc = jax.lax.fori_loop(lower, num_qb, body, init)
+    else:
+        dk_acc, dv_acc = jax.lax.fori_loop(0, num_qb, body, init)
+    dk_ref[0] = (dk_acc * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
 
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def flash_attention(q, k, v, lengths=None, causal: bool = False,
-                    block_q: int = 256, block_k: int = 256,
-                    interpret: bool = None):
-    """See _flash_attention; `interpret=None` auto-selects interpreter
-    mode off-TPU (pallas compiles only on TPU)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    return _flash_attention(q, k, v, lengths, causal=causal,
-                            block_q=block_q, block_k=block_k,
-                            interpret=interpret)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("causal", "block_q", "block_k", "interpret"))
-def _flash_attention(q, k, v, lengths=None, causal: bool = False,
-                     block_q: int = 256, block_k: int = 256,
-                     interpret: bool = False):
-    """q [B, Tq, N, H], k/v [B, Tk, N, H], lengths [B] valid key counts.
-
-    Returns [B, Tq, N, H] (same dtype as q).  Scaling by H^-0.5 is
-    applied inside (callers must NOT pre-scale).
-    """
+def _prep(q, k, v, lengths, block_q, block_k):
+    """Pads sequence dims to block multiples and fuses [B,T,N,H] to
+    [B*N, T, H]; returns (qt, kt, vt, lengths_bn, shapes)."""
     b, t_q, n, h = q.shape
     t_k = k.shape[1]
-    scale = 1.0 / math.sqrt(h)
-    if lengths is None:
-        lengths = jnp.full((b,), t_k, jnp.int32)
-
-    # pad sequence dims to block multiples (masked out via lengths)
     pt_q = _round_up(t_q, block_q)
     pt_k = _round_up(t_k, block_k)
     if pt_q != t_q:
@@ -139,17 +238,21 @@ def _flash_attention(q, k, v, lengths=None, causal: bool = False,
     if pt_k != t_k:
         k = jnp.pad(k, [(0, 0), (0, pt_k - t_k), (0, 0), (0, 0)])
         v = jnp.pad(v, [(0, 0), (0, pt_k - t_k), (0, 0), (0, 0)])
-
-    # [B, T, N, H] -> [B*N, T, H]
     qt = q.transpose(0, 2, 1, 3).reshape(b * n, pt_q, h)
     kt = k.transpose(0, 2, 1, 3).reshape(b * n, pt_k, h)
     vt = v.transpose(0, 2, 1, 3).reshape(b * n, pt_k, h)
     lengths_bn = jnp.repeat(lengths.astype(jnp.int32), n)
+    return qt, kt, vt, lengths_bn, (b, t_q, t_k, n, h, pt_q, pt_k)
 
+
+def _fwd_impl(q, k, v, lengths, causal, block_q, block_k, interpret):
+    qt, kt, vt, lengths_bn, (b, t_q, t_k, n, h, pt_q, pt_k) = _prep(
+        q, k, v, lengths, block_q, block_k)
+    scale = 1.0 / math.sqrt(h)
     grid = (b * n, pt_q // block_q)
-    kernel = functools.partial(_flash_kernel, block_k=block_k,
+    kernel = functools.partial(_fwd_kernel, block_k=block_k,
                                causal=causal, scale=scale)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -163,13 +266,155 @@ def _flash_attention(q, k, v, lengths=None, causal: bool = False,
                 pl.BlockSpec((1, pt_k, h), lambda bn, qi, *_: (bn, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, h),
+                             lambda bn, qi, *_: (bn, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q), lambda bn, qi, *_: (bn, qi),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * n, pt_q, h), q.dtype),
+            jax.ShapeDtypeStruct((b * n, pt_q), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lengths_bn, qt, kt, vt)
+    o = out.reshape(b, n, pt_q, h).transpose(0, 2, 1, 3)[:, :t_q]
+    return o, (out, lse)
+
+
+def _bwd_impl(res, do4, causal, block_q, block_k, interpret):
+    """res = (q, k, v, lengths, ot [B*N,ptq,H], lse); do4 [B,Tq,N,H]."""
+    q, k, v, lengths, ot, lse = res
+    qt, kt, vt, lengths_bn, (b, t_q, t_k, n, h, pt_q, pt_k) = _prep(
+        q, k, v, lengths, block_q, block_k)
+    scale = 1.0 / math.sqrt(h)
+    if pt_q != t_q:
+        do4 = jnp.pad(do4, [(0, 0), (0, pt_q - t_q), (0, 0), (0, 0)])
+    dot = do4.transpose(0, 2, 1, 3).reshape(b * n, pt_q, h)
+    # delta_i = dO_i . O_i  (rowwise), cheap in XLA (one fused pass)
+    delta = jnp.sum(dot.astype(jnp.float32) * ot.astype(jnp.float32),
+                    axis=-1)
+
+    dq_kernel = functools.partial(_dq_kernel, block_k=block_k,
+                                  causal=causal, scale=scale)
+    dqt = pl.pallas_call(
+        dq_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * n, pt_q // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, h),
+                             lambda bn, qi, *_: (bn, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, pt_k, h), lambda bn, qi, *_: (bn, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, pt_k, h), lambda bn, qi, *_: (bn, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, h),
+                             lambda bn, qi, *_: (bn, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q), lambda bn, qi, *_: (bn, qi),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q), lambda bn, qi, *_: (bn, qi),
+                             memory_space=pltpu.VMEM),
+            ],
             out_specs=pl.BlockSpec((1, block_q, h),
                                    lambda bn, qi, *_: (bn, qi, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((b * n, pt_q, h), q.dtype),
         interpret=interpret,
-    )(lengths_bn, qt, kt, vt)
+    )(lengths_bn, qt, kt, vt, dot, lse, delta)
 
-    out = out.reshape(b, n, pt_q, h).transpose(0, 2, 1, 3)
-    return out[:, :t_q]
+    dkv_kernel = functools.partial(_dkv_kernel, block_q=block_q,
+                                   causal=causal, scale=scale)
+    dkt, dvt = pl.pallas_call(
+        dkv_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * n, pt_k // block_k),
+            in_specs=[
+                pl.BlockSpec((1, block_k, h),
+                             lambda bn, ki, *_: (bn, ki, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, h),
+                             lambda bn, ki, *_: (bn, ki, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, pt_q, h), lambda bn, ki, *_: (bn, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, pt_q, h), lambda bn, ki, *_: (bn, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, pt_q), lambda bn, ki, *_: (bn, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, pt_q), lambda bn, ki, *_: (bn, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_k, h),
+                             lambda bn, ki, *_: (bn, ki, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, h),
+                             lambda bn, ki, *_: (bn, ki, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * n, pt_k, h), k.dtype),
+            jax.ShapeDtypeStruct((b * n, pt_k, h), v.dtype),
+        ],
+        interpret=interpret,
+    )(lengths_bn, kt, vt, qt, dot, lse, delta)
+
+    dq = dqt.reshape(b, n, pt_q, h).transpose(0, 2, 1, 3)[:, :t_q]
+    dk = dkt.reshape(b, n, pt_k, h).transpose(0, 2, 1, 3)[:, :t_k]
+    dv = dvt.reshape(b, n, pt_k, h).transpose(0, 2, 1, 3)[:, :t_k]
+    # int lengths take a float0 (symbolic-zero) cotangent
+    dlengths = np.zeros(lengths.shape, jax.dtypes.float0)
+    return dq, dk, dv, dlengths
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_custom(q, k, v, lengths, causal, block_q, block_k, interpret):
+    o, _ = _fwd_impl(q, k, v, lengths, causal, block_q, block_k, interpret)
+    return o
+
+
+def _flash_custom_fwd(q, k, v, lengths, causal, block_q, block_k,
+                      interpret):
+    o, (ot, lse) = _fwd_impl(q, k, v, lengths, causal, block_q, block_k,
+                             interpret)
+    return o, (q, k, v, lengths, ot, lse)
+
+
+def _flash_custom_bwd(causal, block_q, block_k, interpret, res, do):
+    return _bwd_impl(res, do, causal, block_q, block_k, interpret)
+
+
+_flash_custom.defvjp(_flash_custom_fwd, _flash_custom_bwd)
+
+
+def flash_attention(q, k, v, lengths=None, causal: bool = False,
+                    block_q: int = 256, block_k: int = 256,
+                    interpret: bool = None):
+    """Flash (memory-light, differentiable) attention.
+
+    q [B, Tq, N, H], k/v [B, Tk, N, H], lengths [B] valid KEY counts
+    (queries need no mask: padded query rows produce garbage that
+    callers drop via loss masks / output slicing).  Returns
+    [B, Tq, N, H] (dtype of q).  Scaling by H^-0.5 is applied inside
+    (callers must NOT pre-scale).  ``interpret=None`` auto-selects
+    interpreter mode off-TPU (Pallas compiles only on TPU).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t_q, _, _ = q.shape
+    t_k = k.shape[1]
+    if lengths is None:
+        lengths = jnp.full((b,), t_k, jnp.int32)
+    # shrink blocks for short sequences (keeps lanes MXU-aligned)
+    block_q = min(block_q, _round_up(t_q, 128))
+    block_k = min(block_k, _round_up(t_k, 128))
+    return _flash_custom(q, k, v, lengths, causal, block_q, block_k,
+                         interpret)

@@ -71,3 +71,107 @@ def test_encoder_flash_equals_standard():
     d = float(jnp.max(jnp.abs(m1.call(params, inputs)
                               - m2.call(params, inputs))))
     assert d < 1e-4, d
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_grads_match_reference(causal):
+    """custom_vjp backward (Pallas dq/dkv kernels) == autodiff through
+    the dense reference, with ragged key lengths."""
+    rng = np.random.RandomState(2)
+    b, t_q, t_k, n, h = 2, 64, 96, 2, 32
+    q = jnp.asarray(rng.randn(b, t_q, n, h), jnp.float32)
+    k = jnp.asarray(rng.randn(b, t_k, n, h), jnp.float32)
+    v = jnp.asarray(rng.randn(b, t_k, n, h), jnp.float32)
+    w = jnp.asarray(rng.randn(b, t_q, n, h), jnp.float32)
+    lengths = jnp.asarray([96, 50], jnp.int32)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, lengths, causal=causal,
+                              block_q=32, block_k=32)
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference(q, k, v, lengths, causal) * w)
+
+    gq, gk, gv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for ours, ref, name in ((gq, rq, "dq"), (gk, rk, "dk"), (gv, rv, "dv")):
+        d = float(jnp.max(jnp.abs(ours - ref)))
+        assert d < 2e-4, (name, d)
+
+
+def test_flash_grads_ragged_unpadded():
+    """Gradients with sequence lengths that are not block multiples
+    (exercises the pad-and-slice path in fwd and bwd)."""
+    rng = np.random.RandomState(3)
+    b, t_q, t_k, n, h = 1, 40, 70, 2, 16
+    q = jnp.asarray(rng.randn(b, t_q, n, h), jnp.float32)
+    k = jnp.asarray(rng.randn(b, t_k, n, h), jnp.float32)
+    v = jnp.asarray(rng.randn(b, t_k, n, h), jnp.float32)
+    w = jnp.asarray(rng.randn(b, t_q, n, h), jnp.float32)
+    lengths = jnp.asarray([63], jnp.int32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, lengths,
+                                       block_q=32, block_k=32) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference(q, k, v, lengths, False) * w)
+
+    g = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for ours, ref in zip(g, r):
+        assert float(jnp.max(jnp.abs(ours - ref))) < 2e-4
+
+
+def test_full_model_flash_train_grads_equal_dense():
+    """Tiny transformer with encoder+decoder flash attention: training
+    logits AND parameter gradients match the dense model (dropout off
+    for determinism)."""
+    from neurst_tpu.criterions.label_smoothed_cross_entropy import \
+        LabelSmoothedCrossEntropy
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.models.transformer import Transformer
+    meta = {"vocab_size": 17, "eos_id": 16, "bos_id": 16, "unk_id": 15}
+    cfg = dict(Transformer.build_model_args_by_name(
+        "transformer_toy")["model.params"])
+    cfg["dtype"] = "float32"
+    for prefix in ("encoder", "decoder"):
+        cfg[f"{prefix}.attention_dropout_rate"] = 0.0
+        cfg[f"{prefix}.ffn_dropout_rate"] = 0.0
+        cfg[f"{prefix}.layer_postprocess_dropout_rate"] = 0.0
+    dense = build_model({"model.class": "transformer",
+                         "model.params": dict(cfg)},
+                        src_meta=meta, trg_meta=meta)
+    cfg["encoder.enable_flash_attention"] = True
+    cfg["decoder.enable_flash_attention"] = True
+    flash = build_model({"model.class": "transformer",
+                         "model.params": cfg},
+                        src_meta=meta, trg_meta=meta)
+    params = dense.init_params(jax.random.PRNGKey(0))
+    batch = {
+        "src": np.array([[3, 4, 5, 16, 16, 16], [6, 7, 8, 9, 10, 16]],
+                        np.int32),
+        "src_padding": np.array([[0, 0, 0, 0, 1, 1], [0, 0, 0, 0, 0, 0]],
+                                np.float32),
+        "trg_input": np.array([[16, 2, 3, 4], [16, 5, 6, 7]], np.int32),
+        "trg": np.array([[2, 3, 4, 16], [5, 6, 7, 16]], np.int32),
+        "trg_padding": np.array([[0, 0, 0, 1], [0, 0, 0, 0]], np.float32),
+    }
+    criterion = LabelSmoothedCrossEntropy({"label_smoothing": 0.1})
+
+    def loss(model, p):
+        logits = model.call(p, batch, is_training=True,
+                            rngs={"dropout": jax.random.PRNGKey(1)})
+        return criterion.reduce_loss(batch, logits)
+
+    ld = float(loss(dense, params))
+    lf = float(loss(flash, params))
+    assert abs(ld - lf) < 1e-4, (ld, lf)
+    gd = jax.grad(lambda p: loss(dense, p))(params)
+    gf = jax.grad(lambda p: loss(flash, p))(params)
+    leaves_d = jax.tree_util.tree_leaves(gd)
+    leaves_f = jax.tree_util.tree_leaves(gf)
+    max_d = max(float(jnp.max(jnp.abs(a - b)))
+                for a, b in zip(leaves_d, leaves_f))
+    assert max_d < 2e-4, max_d
