@@ -40,7 +40,7 @@ import numpy as np
 from neurst_tpu.utils.converters.converter import Converter, register_converter
 from neurst_tpu.utils.flags_core import Flag
 
-__all__ = ["FairseqTransformer"]
+__all__ = ["FairseqTransformer", "FairseqTransformer2"]
 
 
 @register_converter("fairseq_transformer")
@@ -67,8 +67,32 @@ class FairseqTransformer(Converter):
         bias = np.stack([b.reshape(h, hd) for b in biases], axis=0)
         return kernel.astype(np.float32), bias.astype(np.float32)
 
+    @staticmethod
+    def _split_in_proj(sd):
+        """Normalizes the OLD fairseq attention layout (fused
+        ``in_proj_weight``/``in_proj_bias``, reference converter
+        fairseq_transformer.py:140-181) into the new separate
+        q/k/v_proj keys so one mapping below covers both layouts
+        (the reference splits them across two converter classes,
+        fairseq_transformer vs fairseq_transformer2)."""
+        out = dict(sd)
+        for key in list(sd):
+            if not key.endswith(".in_proj_weight"):
+                continue
+            base = key[:-len(".in_proj_weight")]
+            w = sd[key]
+            b = sd.get(base + ".in_proj_bias")
+            d = w.shape[0] // 3
+            for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                out[f"{base}.{name}.weight"] = w[i * d:(i + 1) * d]
+                if b is not None:
+                    out[f"{base}.{name}.bias"] = b[i * d:(i + 1) * d]
+            del out[key]
+            out.pop(base + ".in_proj_bias", None)
+        return out
+
     def convert_to_flat(self, from_path: str) -> Dict[str, np.ndarray]:
-        sd = self.load_torch_state_dict(from_path)
+        sd = self._split_in_proj(self.load_torch_state_dict(from_path))
         out: Dict[str, np.ndarray] = {}
         h = self._num_heads
 
@@ -152,3 +176,14 @@ class FairseqTransformer(Converter):
                     sd[f"{p}.final_layer_norm.bias"].astype(np.float32)
                 i += 1
         return out
+
+
+@register_converter("fairseq_transformer2")
+class FairseqTransformer2(FairseqTransformer):
+    """The reference's second fairseq naming variant
+    (/root/reference/neurst/utils/converters/fairseq_transformer2.py:1):
+    newer fairseq checkpoints with separate q/k/v projections and the
+    ``cfg`` (not ``args``) config block.  Our base converter already
+    auto-detects both attention layouts, so this class exists for
+    registry-name parity — recipes written against either reference
+    converter name work unchanged."""
