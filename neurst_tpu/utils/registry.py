@@ -144,8 +144,12 @@ def setup_registry(registry_name: str,
         # bare decorator: @register
         if len(args) == 1 and isinstance(args[0], type):
             return do_register(args[0], [])
-        # with alias names: @register("name1", "name2")
-        names = [a for a in args]
+        # with alias names: @register("name1", "name2") — also accepts
+        # a list/tuple, @register(["name1", "name2"]), like the
+        # reference registry (registry.py:107-135)
+        names = []
+        for a in args:
+            names.extend(a if isinstance(a, (list, tuple)) else [a])
         for n in names:
             if not isinstance(n, str):
                 raise ValueError(f"register() aliases must be str, got {n}")

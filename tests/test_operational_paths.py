@@ -228,6 +228,28 @@ def test_prune_tune_partial_trainer_via_include(tmp_path):
         checked_tuned += int((~dense).sum())
     assert checked_frozen > 0 and checked_tuned > 0
 
+    # mask-aware generation (parity: reference
+    # examples/prune_tune/src/mask_sequence_generator.py): decoding the
+    # TUNED checkpoint with the general model's sparsity mask applied
+    # must reproduce the pruned GENERAL model exactly (dense slots are
+    # frozen; masking zeroes the tuned slots).
+    def predict(md, extra):
+        return cli_main(
+            ["--entry"] + extra + ["--model_dir", md,
+             "--dataset.class", "parallel_text",
+             "--dataset.params", "{src_file: tests/examples/dev.src, "
+                                 "trg_file: tests/examples/dev.trg}",
+             "--search_method.params",
+             "{beam_size: 2, maximum_decode_length: 12}"])
+
+    general_hypos = predict(general_dir, ["predict"])["hypotheses"]
+    masked_hypos = predict(
+        tuned_dir,
+        ["mask_predict", "--include",
+         "examples/prune_tune/src/mask_sequence_generator.py",
+         "--mask_from_ckpt", general_dir])["hypotheses"]
+    assert masked_hypos == general_hypos
+
 
 @pytest.mark.slow
 def test_ensemble_predict_cli(tmp_path):
