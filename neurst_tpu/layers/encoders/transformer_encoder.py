@@ -46,22 +46,44 @@ class TransformerEncoder(nn.Module):
     enable_flash_attention: bool = False
     enable_ring_attention: bool = False
     ring_attention_axis: str = "data"
+    scan_layers: bool = False
     dtype: Any = jnp.float32
 
+    def _layer_kwargs(self):
+        return dict(
+            hidden_size=self.hidden_size,
+            num_attention_heads=self.num_attention_heads,
+            filter_size=self.filter_size,
+            ffn_activation=self.ffn_activation,
+            attention_dropout_rate=self.attention_dropout_rate,
+            ffn_dropout_rate=self.ffn_dropout_rate,
+            layer_postprocess_dropout_rate=self.layer_postprocess_dropout_rate,
+            post_normalize=self.post_normalize,
+            layer_postprocess_epsilon=self.layer_postprocess_epsilon,
+            dtype=self.dtype)
+
     def setup(self):
-        self.layers = [
-            TransformerEncoderLayer(
-                hidden_size=self.hidden_size,
-                num_attention_heads=self.num_attention_heads,
-                filter_size=self.filter_size,
-                ffn_activation=self.ffn_activation,
-                attention_dropout_rate=self.attention_dropout_rate,
-                ffn_dropout_rate=self.ffn_dropout_rate,
-                layer_postprocess_dropout_rate=self.layer_postprocess_dropout_rate,
-                post_normalize=self.post_normalize,
-                layer_postprocess_epsilon=self.layer_postprocess_epsilon,
-                dtype=self.dtype, name=f"layer_{i}")
-            for i in range(self.num_layers)]
+        if self.scan_layers:
+            # one traced layer, lax.scan over a stacked-parameter axis:
+            # compile time is O(1) in depth instead of O(num_layers)
+            # (deep speech encoders recompile per bucket shape).  Param
+            # layout: <enc>/layers/layer/... with leading axis
+            # num_layers; checkpoints.restore_into converts to/from the
+            # per-layer layout transparently.
+            self.layers = nn.scan(
+                _ScanEncoderBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=nn.broadcast,
+                length=self.num_layers,
+                metadata_params={nn.meta.PARTITION_NAME: "layers"},
+            )(layer_kwargs=tuple(sorted(self._layer_kwargs().items())),
+              name="layers")
+        else:
+            self.layers = [
+                TransformerEncoderLayer(
+                    **self._layer_kwargs(), name=f"layer_{i}")
+                for i in range(self.num_layers)]
         if not self.post_normalize:
             self.output_ln = LayerNorm(
                 epsilon=self.layer_postprocess_epsilon, dtype=self.dtype,
@@ -93,11 +115,32 @@ class TransformerEncoder(nn.Module):
                 bias = bias + layer_utils.causal_self_attention_bias(
                     inputs.shape[1])
         x = inputs
-        for layer in self.layers:
-            x = layer(x, bias, is_training=is_training,
-                      flash_lengths=flash_lengths,
-                      flash_causal=self.attention_monotonic,
-                      ring_axis=ring_axis, ring_lengths=ring_lengths)
+        if self.scan_layers:
+            x, _ = self.layers(x, bias, is_training, flash_lengths,
+                               self.attention_monotonic, ring_axis,
+                               ring_lengths)
+        else:
+            for layer in self.layers:
+                x = layer(x, bias, is_training=is_training,
+                          flash_lengths=flash_lengths,
+                          flash_causal=self.attention_monotonic,
+                          ring_axis=ring_axis, ring_lengths=ring_lengths)
         if not self.post_normalize:
             x = self.output_ln(x)
         return x
+
+
+class _ScanEncoderBody(nn.Module):
+    """nn.scan target: carries the hidden state through one encoder
+    layer; all other inputs are broadcast."""
+    layer_kwargs: tuple  # sorted (key, value) pairs (hashable for flax)
+
+    @nn.compact
+    def __call__(self, carry, bias, is_training, flash_lengths,
+                 flash_causal, ring_axis, ring_lengths):
+        y = TransformerEncoderLayer(
+            **dict(self.layer_kwargs), name="layer")(
+            carry, bias, is_training=is_training,
+            flash_lengths=flash_lengths, flash_causal=flash_causal,
+            ring_axis=ring_axis, ring_lengths=ring_lengths)
+        return y, None

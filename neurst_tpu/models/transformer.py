@@ -76,6 +76,14 @@ def _encdec_flags(prefix):
                       dtype=Flag.TYPE.STRING, default="data",
                       help="The mesh axis the sequence is sharded over "
                            "when encoder.enable_ring_attention is on."))
+        f.append(Flag("encoder.scan_layers",
+                      dtype=Flag.TYPE.BOOLEAN, default=None,
+                      help="Compile the encoder stack as one "
+                           "lax.scan-ned layer over stacked parameters: "
+                           "compile time is O(1) in depth (deep speech "
+                           "encoders recompile per bucket shape). "
+                           "Numerics are identical; per-layer "
+                           "checkpoints load transparently."))
     if prefix == "decoder":
         f.append(Flag("decoder.enable_flash_attention",
                       dtype=Flag.TYPE.BOOLEAN, default=None,

@@ -45,6 +45,7 @@ LOGICAL_AXIS_RULES = (
     ("head_dim", None),
     ("kv", None),
     ("conv_io", None),
+    ("layers", None),   # scan-over-layers stacking axis (never sharded)
 )
 
 

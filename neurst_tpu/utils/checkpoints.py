@@ -178,6 +178,36 @@ def restore_checkpoint_params(path: str) -> Dict[str, np.ndarray]:
         return {k: data[k] for k in data.files}
 
 
+def _bridge_scan_layouts(flat: Dict[str, np.ndarray],
+                         target_flat: Dict) -> Dict[str, np.ndarray]:
+    """Converts between the per-layer checkpoint layout
+    (``<stack>/layer_<i>/REST``) and the scan-over-layers layout
+    (``<stack>/layers/layer/REST`` with a stacked leading axis), in
+    whichever direction the restore target requires.  Per-layer
+    checkpoints load into ``scan_layers`` models and vice versa."""
+    out = dict(flat)
+    scan_re = re.compile(r"^(.*)/layers/layer/(.*)$")
+    for name, current in target_flat.items():
+        if name in out:
+            continue
+        m = scan_re.match(name)
+        if m:  # target is stacked; source may be per-layer
+            base, rest = m.groups()
+            n = int(np.asarray(current).shape[0])
+            parts = [out.get(f"{base}/layer_{i}/{rest}") for i in range(n)]
+            if all(p is not None for p in parts):
+                out[name] = np.stack([np.asarray(p) for p in parts], 0)
+            continue
+        m = re.match(r"^(.*)/layer_(\d+)/(.*)$", name)
+        if m:  # target is per-layer; source may be stacked
+            base, idx, rest = m.groups()
+            stacked = out.get(f"{base}/layers/layer/{rest}")
+            if stacked is not None \
+                    and int(idx) < np.asarray(stacked).shape[0]:
+                out[name] = np.asarray(stacked)[int(idx)]
+    return out
+
+
 def restore_into(params, flat: Dict[str, np.ndarray],
                  name_mapping: Optional[Callable[[str], str]] = None,
                  from_prefix: Optional[str] = None,
@@ -204,6 +234,7 @@ def restore_into(params, flat: Dict[str, np.ndarray],
             new_name = name_mapping(new_name)
         if new_name is not None:
             remapped[new_name] = value
+    remapped = _bridge_scan_layouts(remapped, target_flat)
     restored, missing = [], []
     out_flat = {}
     for name, current in target_flat.items():
