@@ -62,10 +62,21 @@ def apply_dropout(module: nn.Module, x, rate: float, enabled: bool):
 
     A plain function (not nn.Dropout) so setup-style modules can drop
     out inside any method without declaring child modules.
+
+    On TPU the mask comes from the Pallas hardware-PRNG kernel
+    (ops/fused_dropout.py): threefry mask generation is ~45% of a
+    transformer_base train step, the hardware PRNG makes it an
+    elementwise pass with zero residual memory (bits regenerated in
+    backward).  Off-TPU keeps the stock bernoulli path.
     """
     if not enabled or rate <= 0.0:
         return x
     key = module.make_rng("dropout")
+    from neurst_tpu.ops.fused_dropout import (fused_dropout,
+                                              fused_dropout_available)
+    if fused_dropout_available() and x.size >= (1 << 16) \
+            and x.shape[-1] % 128 == 0:
+        return fused_dropout(x, key, rate)
     keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 

@@ -7,7 +7,12 @@ imports jax at collection time outside a function/fixture.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NEURST_TEST_BACKEND=tpu opts out of the CPU forcing for on-device
+# kernel tests (hardware PRNG, Pallas compile paths).
+_KEEP_TPU = os.environ.get("NEURST_TEST_BACKEND") == "tpu"
+
+if not _KEEP_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -22,4 +27,5 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "float32")
-jax.config.update("jax_platforms", "cpu")
+if not _KEEP_TPU:
+    jax.config.update("jax_platforms", "cpu")
