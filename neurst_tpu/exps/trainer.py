@@ -81,6 +81,11 @@ class Trainer(BaseExperiment):
                       "(pod-scale models)."),
             Flag("update_cycle", dtype=Flag.TYPE.INTEGER, default=1,
                  help="Accumulate gradients over N micro-batches."),
+            Flag("bf16_params", dtype=Flag.TYPE.BOOLEAN, default=None,
+                 help="Store live parameters in bfloat16 with a float32 "
+                      "master copy inside the optimizer state (halves "
+                      "parameter HBM reads; checkpoints stay float32 "
+                      "via the master)."),
             Flag("clip_value", dtype=Flag.TYPE.FLOAT, default=None,
                  help="Clip gradients by value."),
             Flag("clip_norm", dtype=Flag.TYPE.FLOAT, default=None,
@@ -196,6 +201,11 @@ class Trainer(BaseExperiment):
         tx = create_optax_chain(optimizer, lr,
                                 clip_value=args.get("clip_value"),
                                 clip_norm=args.get("clip_norm"))
+        if args.get("bf16_params"):
+            from neurst_tpu.optimizers.master_weights import \
+                with_bf16_params
+            tx = with_bf16_params(tx)
+            logging.info("bf16 stored params + f32 master enabled")
         if args.get("pruning_schedule.class"):
             from neurst_tpu.sparsity.pruning_optimizer import (
                 make_variable_filter, prune_gradients)
@@ -255,6 +265,10 @@ class Trainer(BaseExperiment):
         p_shardings = params_shardings(mesh, model.params_spec())
         params = jax.tree_util.tree_map(
             lambda p, s: jax.device_put(p, s), params, p_shardings)
+        if args.get("bf16_params"):
+            from neurst_tpu.optimizers.master_weights import \
+                cast_params_bf16
+            params = cast_params_bf16(params)
         state = TrainState.create(params, tx)
         # exact resume: restore the optimizer state sidecar when present
         if state_restore is not None:
@@ -483,17 +497,32 @@ class Trainer(BaseExperiment):
     def _ckpt_format(args):
         return args.get("checkpoint_format") or "npz"
 
+    @staticmethod
+    def _params_for_save(state, args):
+        """With --bf16_params the live params are bf16 and the f32
+        master lives in the optimizer state — checkpoints keep f32."""
+        if args.get("bf16_params"):
+            for entry in jax.tree_util.tree_leaves(
+                    state.opt_state,
+                    is_leaf=lambda x: isinstance(x, dict)
+                    and "master" in x):
+                if isinstance(entry, dict) and "master" in entry:
+                    return entry["master"]
+        return state.params
+
     def _save(self, model_dir, step, state, args):
         keep = args.get("checkpoints_max_to_keep") or 8
         if self._ckpt_format(args) == "orbax":
             from neurst_tpu.utils import orbax_checkpoints as orbax_lib
             path = orbax_lib.save_checkpoint_orbax(
-                model_dir, step, state.params, max_to_keep=keep)
+                model_dir, step, self._params_for_save(state, args),
+                max_to_keep=keep)
             orbax_lib.save_checkpoint_orbax_raw(
                 path.replace(".orbax", ".optstate.orbax"),
                 state.opt_state)
             return
-        params_host = jax.tree_util.tree_map(np.asarray, state.params)
+        params_host = jax.tree_util.tree_map(
+            np.asarray, self._params_for_save(state, args))
         opt_bytes = serialization.to_bytes(
             jax.tree_util.tree_map(np.asarray, state.opt_state))
         ckpt_lib.save_checkpoint(

@@ -206,3 +206,52 @@ def test_dp_grads_match_single_device(meshes):
     assert _max_tree_diff(
         jax.tree_util.tree_map(np.asarray, grads_dp),
         jax.tree_util.tree_map(np.asarray, grads_ref)) < 1e-5
+
+
+def test_bf16_params_with_f32_master_tracks_f32_training(meshes):
+    """--bf16_params option: bf16 stored params + f32 master must track
+    plain-f32 SGD training closely (master accumulates exactly; the
+    live params are just bf16 roundings of it)."""
+    import optax
+
+    from neurst_tpu.optimizers.master_weights import (cast_params_bf16,
+                                                      with_bf16_params)
+    from neurst_tpu.parallel import TrainState, make_train_step
+    model = _toy_model()
+    from neurst_tpu.criterions.label_smoothed_cross_entropy import \
+        LabelSmoothedCrossEntropy
+    criterion = LabelSmoothedCrossEntropy({"label_smoothing": 0.1})
+    host = _batch(seed=4)
+
+    def run(bf16):
+        tx = optax.sgd(0.05)
+        params = model.init_params(jax.random.PRNGKey(0))
+        if bf16:
+            tx = with_bf16_params(tx)
+            params = cast_params_bf16(params)
+        state = TrainState.create(params, tx)
+        step = jax.jit(make_train_step(model, criterion, tx))
+        for _ in range(3):
+            state, metrics = step(state, host, jax.random.PRNGKey(7))
+        return state, float(metrics["loss"])
+
+    state32, loss32 = run(False)
+    state16, loss16 = run(True)
+    assert abs(loss32 - loss16) < 5e-2
+    # the f32 master tracks the f32 trajectory to fine tolerance
+    master = state16.opt_state[-1]["master"] \
+        if isinstance(state16.opt_state, tuple) else None
+    if master is None:
+        leaves = [x for x in jax.tree_util.tree_leaves(
+            state16.opt_state,
+            is_leaf=lambda x: isinstance(x, dict) and "master" in x)
+            if isinstance(x, dict)]
+        master = leaves[0]["master"]
+    diff = _max_tree_diff(
+        jax.tree_util.tree_map(np.asarray, master),
+        jax.tree_util.tree_map(np.asarray, state32.params))
+    assert diff < 5e-3, diff
+    # live params are bf16
+    dtypes = {str(x.dtype) for x in
+              jax.tree_util.tree_leaves(state16.params)}
+    assert dtypes == {"bfloat16"}, dtypes
