@@ -11,16 +11,28 @@ exact workload (CPU_BASELINE_UTT_PER_SEC, measured on this host).
 
 ``extra`` additionally captures a transformer_base training step
 (WMT-style MT, vocab 32k, bf16): target tokens/s/chip and model FLOPs
-utilization against the v5e bf16 peak (197 TFLOP/s).  Shape notes
-(measured): decode throughput is latency-bound in the sequential decode
-loop (flat from batch 16 to 128 — 504/502/465/419 utt/s), so batch 16
-is kept; the train step is HBM-bound (XLA cost analysis: 6.5e12 flops
-but 9.0e10 bytes/step ≈ 110 ms of the measured step at v5e bandwidth),
-so longer sequences amortize better: 256x64 / 128x128 / 256x128 give
-109/127/130k tok/s with the fused CE (which stopped materializing the
-f32 [B,T,V] log-probs; +6.5%% at 256x64).  [256, 128] is kept.  The
-analytic FLOPs formula is validated against XLA's own cost analysis
-(6.1e12 vs 6.5e12 at 256x64).
+utilization against the v5e bf16 peak (197 TFLOP/s), for the default
+f32-param policy AND the --bf16_params (f32-master) option.
+
+Round-3 component profile (measured on v5e, [256,128]): the r2 step
+(254 ms, MFU 0.25) decomposed into model fwd+bwd 241 ms / CE 29 ms,
+with DROPOUT (threefry bits + mask round-trips) accounting for 114 ms
+(139.6 ms with dropout off).  The Pallas hardware-PRNG dropout kernel
+(ops/fused_dropout.py) cut the step to 195 ms and --bf16_params to
+176.5 ms (185.6k tok/s, MFU 0.357).  A Pallas CE kernel measured
+faster isolated (19.4 vs 29.3 ms) but slower end-to-end (fusion
+breaks), so it stays opt-in.  Remaining floor: the no-dropout step is
+~140 ms, of which ~63 ms is MXU flops at d=512 — the rest is
+activation bandwidth, the honest bound for this model size.
+
+Decode shape note (measured on v5e, speech_transformer_s beam-4,
+1024 frames): full-decode time is 36.4/141.7/310.8 ms at batch
+16/64/128 (md=64) — ~linear in batch*beam rows, i.e. throughput-bound
+in the step body (cache traffic + many small sequential ops), NOT
+launch-latency-bound, so utt/s is flat in batch and batch 16 is kept
+for the headline.  Per-step cost also grows with decode_padded_length
+(batch 128: 3.9 ms/step at md=32 vs 4.9 at md=64 — the static cache
+is length md): recipes should set realistic max lengths.
 """
 
 import json
@@ -166,7 +178,91 @@ def bench_long_audio(jax):
     return times
 
 
-def bench_train(jax):
+def bench_long_audio_train(jax):
+    """Dense vs flash TRAINING step (fwd+bwd) on long audio: at seq
+    2048 (post-subsampling) the dense path materializes the f32
+    [B, N, T, T] scores in forward AND backward; the flash custom-vjp
+    recomputes blockwise.  Dropout off (the flash path would skip
+    attention-prob dropout anyway)."""
+    from neurst_tpu.criterions.label_smoothed_cross_entropy import \
+        LabelSmoothedCrossEntropy
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.models.speech_transformer import SpeechTransformer
+
+    cfg = SpeechTransformer.build_model_args_by_name("speech_transformer_s")
+    trg_meta = {"vocab_size": 8192, "eos_id": 1, "bos_id": 2, "unk_id": 3,
+                "pad_id": 1, "language": "fr"}
+    src_meta = {"audio_feature_dim": 80, "audio_feature_channels": 1}
+    rng = np.random.RandomState(0)
+    trg_len = 32
+    batch = {
+        "src": jax.device_put(
+            rng.randn(LONG_BATCH, LONG_FRAMES, 80, 1).astype(np.float32)),
+        "src_length": jax.device_put(
+            np.full([LONG_BATCH], LONG_FRAMES, np.int32)),
+        "trg_input": jax.device_put(
+            rng.randint(4, 8192, size=[LONG_BATCH, trg_len]
+                        ).astype(np.int32)),
+        "trg": jax.device_put(
+            rng.randint(4, 8192, size=[LONG_BATCH, trg_len]
+                        ).astype(np.int32)),
+        "trg_padding": jax.device_put(
+            np.zeros([LONG_BATCH, trg_len], np.float32)),
+    }
+    criterion = LabelSmoothedCrossEntropy({"label_smoothing": 0.1})
+    times = {}
+    for key, flash in (("dense_ms", False), ("flash_ms", True)):
+        params_cfg = dict(cfg["model.params"])
+        params_cfg["dtype"] = "bfloat16"
+        params_cfg["encoder.enable_flash_attention"] = flash
+        for prefix in ("encoder", "decoder"):
+            params_cfg[f"{prefix}.attention_dropout_rate"] = 0.0
+            params_cfg[f"{prefix}.ffn_dropout_rate"] = 0.0
+            params_cfg[f"{prefix}.layer_postprocess_dropout_rate"] = 0.0
+        model = build_model(dict(cfg, **{"model.params": params_cfg}),
+                            src_meta=src_meta, trg_meta=trg_meta)
+        params = model.init_params(jax.random.PRNGKey(0))
+
+        def loss_fn(p, m=model):
+            import jax as _jax
+            logits = m.call(p, batch, is_training=True,
+                            rngs={"dropout": _jax.random.PRNGKey(5)})
+            return criterion.reduce_loss(batch, logits)
+
+        f = jax.jit(jax.value_and_grad(loss_fn))
+        elapsed = _median_time(lambda: f(params),
+                               lambda out: float(out[0]),
+                               warmup=1, iters=3, chain=2)
+        times[key] = round(elapsed * 1000, 1)
+    return times
+
+
+def bench_scan_compile(jax):
+    """Wall-clock compile seconds for a deep (12-layer) encoder forward:
+    per-layer loop vs encoder.scan_layers (one traced layer)."""
+    import time as _time
+
+    from flax import linen as nn
+    import jax.numpy as jnp
+
+    from neurst_tpu.layers.encoders.transformer_encoder import \
+        TransformerEncoder
+    out = {}
+    x = jnp.zeros([2, 256, 256], jnp.bfloat16)
+    pad = jnp.zeros([2, 256], jnp.float32)
+    for key, scan in (("loop_s", False), ("scan_s", True)):
+        enc = TransformerEncoder(
+            num_layers=12, hidden_size=256, num_attention_heads=4,
+            filter_size=2048, scan_layers=scan, dtype=jnp.bfloat16)
+        params = enc.init({"params": jax.random.PRNGKey(0)}, x, pad)
+        fwd = jax.jit(lambda p, a, b: enc.apply(p, a, b))
+        start = _time.perf_counter()
+        fwd.lower(params, x, pad).compile()
+        out[key] = round(_time.perf_counter() - start, 1)
+    return out
+
+
+def bench_train(jax, bf16_params=False):
     from neurst_tpu.criterions.label_smoothed_cross_entropy import \
         LabelSmoothedCrossEntropy
     from neurst_tpu.models.model import build_model
@@ -190,6 +286,11 @@ def bench_train(jax):
                        "initial_factor": 1.0})
     tx = create_optax_chain(Adam({"epsilon": 1e-9, "beta_1": 0.9,
                                   "beta_2": 0.98}), lr, clip_norm=1.0)
+    if bf16_params:
+        from neurst_tpu.optimizers.master_weights import (
+            cast_params_bf16, with_bf16_params)
+        tx = with_bf16_params(tx)
+        params = cast_params_bf16(params)
     state = TrainState.create(params, tx)
     step_fn = jax.jit(make_train_step(model, criterion, tx),
                       donate_argnums=(0,))
@@ -228,7 +329,10 @@ def main():
 
     utt_per_sec, rtf = bench_decode(jax)
     train_tok_s, train_step_s, mfu = bench_train(jax)
+    bf16_tok_s, bf16_step_s, bf16_mfu = bench_train(jax, bf16_params=True)
     long_audio = bench_long_audio(jax)
+    long_train = bench_long_audio_train(jax)
+    scan_compile = bench_scan_compile(jax)
     print(json.dumps({
         "metric": "st_beam4_decode_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 3),
@@ -241,8 +345,14 @@ def main():
                   "train_step_ms": round(train_step_s * 1000, 1),
                   "train_batch": [TRAIN_BATCH, TRAIN_LEN],
                   "mfu": round(mfu, 3),
+                  "bf16_params_tokens_per_sec": round(bf16_tok_s),
+                  "bf16_params_step_ms": round(bf16_step_s * 1000, 1),
+                  "bf16_params_mfu": round(bf16_mfu, 3),
                   "long_audio_encode": dict(
-                      long_audio, batch=LONG_BATCH, frames=LONG_FRAMES)},
+                      long_audio, batch=LONG_BATCH, frames=LONG_FRAMES),
+                  "long_audio_train": dict(
+                      long_train, batch=LONG_BATCH, frames=LONG_FRAMES),
+                  "scan_layers_compile": scan_compile},
     }))
 
 
