@@ -129,6 +129,18 @@ class MultiHeadAttention(nn.Module):
             from neurst_tpu.ops.flash_attention import flash_attention
             out = flash_attention(q, k, v, lengths=flash_lengths)
             return self.output_transform(out), cache
+        if cache is not None and q.shape[0] != k.shape[0]:
+            # beam-shared kv: query rows are [B*beam] while the cached
+            # memory k/v stayed [B] (beam hypotheses of one sentence
+            # attend identical encoder state).  Group the beam rows
+            # into the query-length axis — `bias` [B, 1, 1, S]
+            # broadcasts over it — then ungroup.
+            b = k.shape[0]
+            beam = q.shape[0] // b
+            f = q.shape[1]
+            qg = q.reshape(b, beam * f, *q.shape[2:])
+            out = self._attend(qg, k, v, bias, is_training)
+            return out.reshape(b * beam, f, out.shape[-1]), cache
         return self._attend(q, k, v, bias, is_training), cache
 
 

@@ -86,6 +86,26 @@ def gather_beams(nested, beam_indices):
         lambda t: jnp.take(t, beam_indices, axis=0), nested)
 
 
+def stack_beam_size_selective(nested, beam_size,
+                              skip_keys=("memory", "memory_padding")):
+    """Tiles a cache pytree to [B*beam, ...], LEAVING the batch-invariant
+    subtrees at [B, ...]: beam hypotheses of one sentence share the
+    encoder-derived cross-attention k/v and memory padding bit-for-bit,
+    so tiling them only multiplies the per-step HBM reads by beam_size.
+    The cross-attention computes the shared-kv case with a grouped
+    einsum (MultiHeadAttention detects the batch mismatch)."""
+
+    def walk(node, under_skip):
+        if isinstance(node, dict):
+            return {k: walk(v, under_skip or (k in skip_keys))
+                    for k, v in node.items()}
+        if under_skip or node is None:
+            return node
+        return stack_beam_size(node, beam_size)
+
+    return walk(nested, False)
+
+
 def gather_beams_selective(nested, beam_indices, skip_keys=("memory",
                                                            "memory_padding")):
     """Beam-reorders a cache pytree, skipping batch-invariant subtrees.

@@ -79,9 +79,12 @@ def sequence_beam_search(symbols_to_logits_fn: Callable,
     batch_size = decoder_input.shape[0]
     bb = batch_size * beam_size
 
-    cache = jax.tree_util.tree_map(
-        lambda t: layer_utils.stack_beam_size(t, beam_size),
-        generation_initializer["decoder_internal_cache"])
+    # memory/memory_padding stay [B, ...]: beams share encoder state
+    # bit-for-bit, and cross-attention computes the shared-kv case with
+    # a grouped einsum — tiling them would multiply per-step HBM reads
+    # by beam_size (the dominant decode-step traffic for long sources)
+    cache = layer_utils.stack_beam_size_selective(
+        generation_initializer["decoder_internal_cache"], beam_size)
     input_ids = layer_utils.stack_beam_size(
         decoder_input.astype(jnp.int32), beam_size)
 
