@@ -201,11 +201,6 @@ class Trainer(BaseExperiment):
         tx = create_optax_chain(optimizer, lr,
                                 clip_value=args.get("clip_value"),
                                 clip_norm=args.get("clip_norm"))
-        if args.get("bf16_params"):
-            from neurst_tpu.optimizers.master_weights import \
-                with_bf16_params
-            tx = with_bf16_params(tx)
-            logging.info("bf16 stored params + f32 master enabled")
         if args.get("pruning_schedule.class"):
             from neurst_tpu.sparsity.pruning_optimizer import (
                 make_variable_filter, prune_gradients)
@@ -253,6 +248,16 @@ class Trainer(BaseExperiment):
             logging.info("Rate-scheduled updates for pattern '%s'",
                          args["rate_scheduled_pattern"])
         tx = self._wrap_tx(tx)
+        if args.get("bf16_params"):
+            # OUTERMOST wrapper: pruning/freeze/rate-schedule masks must
+            # act on the f32 master's updates INSIDE this boundary —
+            # wrapped the other way, a masked (frozen) parameter's
+            # master keeps advancing and the emitted bf16 delta moves
+            # the "frozen" weight on the next step.
+            from neurst_tpu.optimizers.master_weights import \
+                with_bf16_params
+            tx = with_bf16_params(tx)
+            logging.info("bf16 stored params + f32 master enabled")
 
         # persist configs so predict/validation rebuild task+model
         if model_dir and jax.process_index() == 0:

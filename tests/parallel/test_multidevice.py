@@ -255,3 +255,47 @@ def test_bf16_params_with_f32_master_tracks_f32_training(meshes):
     dtypes = {str(x.dtype) for x in
               jax.tree_util.tree_leaves(state16.params)}
     assert dtypes == {"bfloat16"}, dtypes
+
+
+def test_bf16_params_respects_frozen_variables(meshes):
+    """with_bf16_params must wrap OUTSIDE masking transforms: a frozen
+    variable's master must not advance, and the live bf16 weight must
+    stay bit-identical across steps."""
+    import optax
+
+    from neurst_tpu.optimizers.master_weights import (cast_params_bf16,
+                                                      with_bf16_params)
+    from neurst_tpu.parallel import TrainState, make_train_step
+    from neurst_tpu.utils.checkpoints import (flatten_params,
+                                              unflatten_params)
+    from neurst_tpu.criterions.label_smoothed_cross_entropy import \
+        LabelSmoothedCrossEntropy
+    model = _toy_model()
+    criterion = LabelSmoothedCrossEntropy({"label_smoothing": 0.1})
+
+    def label(params):
+        flat = flatten_params(params)
+        return unflatten_params(
+            {k: ("frozen" if "ffn" in k else "train") for k in flat})
+
+    tx = with_bf16_params(optax.multi_transform(
+        {"train": optax.sgd(0.1), "frozen": optax.set_to_zero()}, label))
+    params = cast_params_bf16(model.init_params(jax.random.PRNGKey(0)))
+    before = {k: np.asarray(v).copy()
+              for k, v in flatten_params(params).items() if "ffn" in k}
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(model, criterion, tx))
+    host = _batch(seed=6)
+    for _ in range(3):
+        state, _ = step(state, host, jax.random.PRNGKey(7))
+    after = flatten_params(state.params)
+    changed_any = False
+    for k, v in before.items():
+        np.testing.assert_array_equal(np.asarray(after[k]), v, err_msg=k)
+    # sanity: unfrozen weights did move
+    all_after = {k: np.asarray(v) for k, v in after.items()}
+    all_before = flatten_params(params)
+    moved = [k for k, v in all_after.items()
+             if "ffn" not in k
+             and not np.array_equal(v, np.asarray(all_before[k]))]
+    assert moved
