@@ -26,13 +26,15 @@ breaks), so it stays opt-in.  Remaining floor: the no-dropout step is
 activation bandwidth, the honest bound for this model size.
 
 Decode shape note (measured on v5e, speech_transformer_s beam-4,
-1024 frames): full-decode time is 36.4/141.7/310.8 ms at batch
-16/64/128 (md=64) — ~linear in batch*beam rows, i.e. throughput-bound
-in the step body (cache traffic + many small sequential ops), NOT
-launch-latency-bound, so utt/s is flat in batch and batch 16 is kept
-for the headline.  Per-step cost also grows with decode_padded_length
-(batch 128: 3.9 ms/step at md=32 vs 4.9 at md=64 — the static cache
-is length md): recipes should set realistic max lengths.
+1024 frames): full-decode time is ~linear in batch*beam rows
+(32.3/143.2/285.5 ms at batch 16/64/128, md=64, with beam-shared
+cross-attention K/V), i.e. throughput-bound in the step body (cache
+traffic + many small sequential ops), NOT launch-latency-bound, so
+utt/s is flat in batch and batch 16 is kept for the headline.
+Per-step cost also grows with decode_padded_length (batch 128:
+3.4 ms/step at md=32 vs 4.5 at md=64 — the static cache is length
+md): recipes should set realistic max lengths.  Beam-shared K/V
+(memory cache untiled, grouped einsum) bought 11-15%% across shapes.
 """
 
 import json
