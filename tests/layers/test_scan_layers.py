@@ -95,3 +95,64 @@ def test_scan_encoder_grads_match_loop():
             ref = np.asarray(g_loop[name])
         np.testing.assert_allclose(np.asarray(g), ref, rtol=0, atol=2e-5,
                                    err_msg=name)
+
+
+def test_scan_layers_on_speech_transformer():
+    """encoder.scan_layers composes with the audio conv front-end
+    (SpeechTransformer): forward equals the loop encoder after the
+    per-layer -> stacked param bridge."""
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.models.speech_transformer import SpeechTransformer
+    from neurst_tpu.utils.checkpoints import flatten_params, restore_into
+
+    cfg = SpeechTransformer.build_model_args_by_name("speech_transformer_toy")
+    if cfg is not None:
+        pc = dict(cfg["model.params"])
+        pc["dtype"] = "float32"   # bf16 reduction order differs loop/scan
+        for k in list(pc):
+            if k.endswith("dropout_rate"):
+                pc[k] = 0.0
+        cfg = dict(cfg, **{"model.params": pc})
+    if cfg is None:
+        base = SpeechTransformer.build_model_args_by_name(
+            "speech_transformer_s")
+        params_cfg = dict(base["model.params"])
+        for k in list(params_cfg):
+            if k.endswith("num_layers"):
+                params_cfg[k] = 2
+            if k.endswith("hidden_size") or k == "modality.dim":
+                params_cfg[k] = 16
+            if k.endswith("filter_size"):
+                params_cfg[k] = 32
+            if k.endswith("num_attention_heads"):
+                params_cfg[k] = 2
+            if k.endswith("dropout_rate"):
+                params_cfg[k] = 0.0
+        params_cfg["dtype"] = "float32"
+        cfg = dict(base, **{"model.params": params_cfg})
+    trg_meta = {"vocab_size": 20, "eos_id": 1, "bos_id": 2, "unk_id": 3,
+                "pad_id": 1, "language": "fr"}
+    src_meta = {"audio_feature_dim": 8, "audio_feature_channels": 1}
+
+    def make(scan):
+        pc = dict(cfg["model.params"])
+        pc["encoder.scan_layers"] = scan
+        return build_model(dict(cfg, **{"model.params": pc}),
+                           src_meta=src_meta, trg_meta=trg_meta)
+
+    loop = make(False)
+    scan = make(True)
+    params_loop = loop.init_params(jax.random.PRNGKey(0))
+    params_scan, _, missing = restore_into(
+        scan.init_params(jax.random.PRNGKey(1)),
+        flatten_params(params_loop))
+    assert not missing, missing
+    rng = np.random.RandomState(0)
+    batch = {
+        "src": rng.randn(2, 37, 8, 1).astype(np.float32),
+        "src_length": np.asarray([37, 20], np.int32),
+        "trg_input": np.array([[2, 4, 5], [2, 6, 7]], np.int32),
+    }
+    out_loop = np.asarray(loop.call(params_loop, batch))
+    out_scan = np.asarray(scan.call(params_scan, batch))
+    np.testing.assert_allclose(out_scan, out_loop, rtol=0, atol=1e-5)
