@@ -69,9 +69,11 @@ def sequence_sampling(symbols_to_logits_fn, generation_initializer, rng,
     batch_size = decoder_input.shape[0]
     bb = batch_size * num_samples
 
-    cache = jax.tree_util.tree_map(
-        lambda t: layer_utils.stack_beam_size(t, num_samples),
-        generation_initializer["decoder_internal_cache"])
+    # memory/memory_padding stay [B, ...] — samples of one sentence
+    # share encoder state; cross-attention groups the sample rows
+    # (same mechanism as beam search's shared-kv decode)
+    cache = layer_utils.stack_beam_size_selective(
+        generation_initializer["decoder_internal_cache"], num_samples)
     input_ids = layer_utils.stack_beam_size(
         decoder_input.astype(jnp.int32), num_samples)
 
