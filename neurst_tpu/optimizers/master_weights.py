@@ -60,8 +60,13 @@ def with_bf16_params(tx: optax.GradientTransformation
         inner_updates, inner_state = tx.update(grads32, state["inner"],
                                                state["master"])
         master = optax.apply_updates(state["master"], inner_updates)
+        # emit FLOAT32 deltas: optax.apply_updates adds in the promoted
+        # dtype and casts back, so the live bf16 param lands on exactly
+        # bf16(master') — a bf16 delta would round (p + (m-p) != m in
+        # bf16), letting live params drift a ulp from the master and
+        # breaking exact save/restore resume
         emitted = jax.tree_util.tree_map(
-            lambda m, p: (m.astype(p.dtype) - p).astype(p.dtype)
+            lambda m, p: (m - p.astype(jnp.float32))
             if _is_float(p) else jnp.zeros_like(p),
             master, params)
         return emitted, {"master": master, "inner": inner_state}

@@ -299,3 +299,51 @@ def test_bf16_params_respects_frozen_variables(meshes):
              if "ffn" not in k
              and not np.array_equal(v, np.asarray(all_before[k]))]
     assert moved
+
+
+def test_bf16_params_state_roundtrip_is_exact(meshes):
+    """Serializing TrainState.opt_state (incl. the f32 master) and
+    restoring it must continue training exactly: interrupt-after-2 ==
+    straight-4 on fixed batches."""
+    import optax
+    from flax import serialization
+
+    from neurst_tpu.criterions.label_smoothed_cross_entropy import \
+        LabelSmoothedCrossEntropy
+    from neurst_tpu.optimizers.master_weights import (cast_params_bf16,
+                                                      with_bf16_params)
+    from neurst_tpu.parallel import TrainState, make_train_step
+    model = _toy_model()
+    criterion = LabelSmoothedCrossEntropy({"label_smoothing": 0.1})
+    tx = with_bf16_params(optax.sgd(0.05))
+    host = _batch(seed=9)
+    step = jax.jit(make_train_step(model, criterion, tx))
+
+    def fresh_state():
+        return TrainState.create(
+            cast_params_bf16(model.init_params(jax.random.PRNGKey(0))), tx)
+
+    # straight: 4 steps
+    s = fresh_state()
+    for _ in range(4):
+        s, _ = step(s, host, jax.random.PRNGKey(7))
+    straight = jax.tree_util.tree_map(np.asarray, s.params)
+
+    # interrupted: 2 steps -> save (f32 master + optstate bytes) ->
+    # restore exactly as the trainer does -> 2 more steps
+    s = fresh_state()
+    for _ in range(2):
+        s, _ = step(s, host, jax.random.PRNGKey(7))
+    master_saved = jax.tree_util.tree_map(
+        np.asarray, s.opt_state["master"])
+    opt_bytes = serialization.to_bytes(
+        jax.tree_util.tree_map(np.asarray, s.opt_state))
+
+    s2 = TrainState.create(cast_params_bf16(master_saved), tx)
+    restored_opt = serialization.from_bytes(s2.opt_state, opt_bytes)
+    s2 = s2.replace(opt_state=restored_opt,
+                    step=jnp.asarray(2, jnp.int32))
+    for _ in range(2):
+        s2, _ = step(s2, host, jax.random.PRNGKey(7))
+    resumed = jax.tree_util.tree_map(np.asarray, s2.params)
+    assert _max_tree_diff(straight, resumed) == 0.0

@@ -364,3 +364,32 @@ def test_record_corruption_modes_contained(tmp_path):
     assert 5 < len(examples) < 15
     for ex in examples:
         assert 3 <= len(ex["feature"]) <= 8
+
+
+@pytest.mark.slow
+def test_bf16_params_resume_restores_master(tmp_path, caplog):
+    """--bf16_params through the CLI: checkpoints store the f32 master,
+    and a resumed run restores the optimizer-state sidecar (master
+    included) and continues from the saved step.  (Bitwise run equality
+    is not asserted here — the data iterator's order differs between an
+    interrupted and an uninterrupted run; the deterministic master
+    save/restore equivalence is covered at the train-step level in
+    tests/parallel/test_multidevice.py.)"""
+    model_dir = str(tmp_path / "model")
+    _train(tmp_path, model_dir,
+           ["--train_steps", "4", "--save_checkpoint_steps", "4",
+            "--summary_steps", "4", "--bf16_params"])
+    ckpt4 = np.load(os.path.join(model_dir, "ckpt-4.npz"))
+    assert all(str(ckpt4[k].dtype) == "float32" for k in ckpt4.files)
+    assert os.path.exists(os.path.join(model_dir, "ckpt-4.optstate"))
+
+    with caplog.at_level(logging.INFO):
+        _train(tmp_path, model_dir,
+               ["--train_steps", "8", "--save_checkpoint_steps", "4",
+                "--summary_steps", "4", "--bf16_params"])
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("Start training from step 4 to 8" in m for m in msgs)
+    assert any("Restored optimizer state" in m for m in msgs), \
+        [m for m in msgs if "optimizer" in m.lower()]
+    ckpt8 = np.load(os.path.join(model_dir, "ckpt-8.npz"))
+    assert all(str(ckpt8[k].dtype) == "float32" for k in ckpt8.files)
