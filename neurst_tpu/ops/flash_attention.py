@@ -54,8 +54,9 @@ def _fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
 
     q_ref: [1, block_q, head_dim]; k_ref/v_ref: [1, t_k, head_dim]
     (VMEM); lengths_ref: SMEM [B*N] valid key length per row;
-    o_ref: [1, block_q, head_dim]; lse_ref: [1, block_q] float32
-    row logsumexp (saved for the backward).
+    o_ref: [1, block_q, head_dim]; lse_ref: [1, 1, block_q] float32
+    row logsumexp (saved for the backward; the leading singleton keeps
+    the Mosaic block shape legal — sublane dim == array dim).
     """
     _, block_q, head_dim = q_ref.shape
     t_k = k_ref.shape[1]
@@ -106,8 +107,8 @@ def _fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     else:
         acc, m, l = jax.lax.fori_loop(0, num_kb, body, init)
     o_ref[0] = (acc / jnp.maximum(l, 1e-20)[:, None]).astype(o_ref.dtype)
-    lse_ref[0] = jnp.where(l > 0.0, m + jnp.log(jnp.maximum(l, 1e-37)),
-                           NEG_INF)
+    lse_ref[0, 0] = jnp.where(
+        l > 0.0, m + jnp.log(jnp.maximum(l, 1e-37)), NEG_INF)
 
 
 def _dq_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
@@ -122,8 +123,8 @@ def _dq_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]
-    delta = delta_ref[0]
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
     num_kb = t_k // block_k
 
     def body(j, acc):
@@ -181,8 +182,8 @@ def _dkv_kernel(lengths_ref, k_ref, v_ref, q_ref, do_ref, lse_ref,
         dk_acc, dv_acc = carry
         q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(i * block_q, block_q)]
-        delta = delta_ref[0, pl.ds(i * block_q, block_q)]
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -270,13 +271,14 @@ def _fwd_impl(q, k, v, lengths, causal, block_q, block_k, interpret):
                 pl.BlockSpec((1, block_q, h),
                              lambda bn, qi, *_: (bn, qi, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q), lambda bn, qi, *_: (bn, qi),
+                pl.BlockSpec((1, 1, block_q),
+                             lambda bn, qi, *_: (bn, 0, qi),
                              memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b * n, pt_q, h), q.dtype),
-            jax.ShapeDtypeStruct((b * n, pt_q), jnp.float32),
+            jax.ShapeDtypeStruct((b * n, 1, pt_q), jnp.float32),
         ],
         interpret=interpret,
     )(lengths_bn, qt, kt, vt)
@@ -295,7 +297,7 @@ def _bwd_impl(res, do4, causal, block_q, block_k, interpret):
     dot = do4.transpose(0, 2, 1, 3).reshape(b * n, pt_q, h)
     # delta_i = dO_i . O_i  (rowwise), cheap in XLA (one fused pass)
     delta = jnp.sum(dot.astype(jnp.float32) * ot.astype(jnp.float32),
-                    axis=-1)
+                    axis=-1)[:, None, :]  # [B*N, 1, pt_q] like lse
 
     dq_kernel = functools.partial(_dq_kernel, block_k=block_k,
                                   causal=causal, scale=scale)
@@ -315,9 +317,11 @@ def _bwd_impl(res, do4, causal, block_q, block_k, interpret):
                 pl.BlockSpec((1, block_q, h),
                              lambda bn, qi, *_: (bn, qi, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q), lambda bn, qi, *_: (bn, qi),
+                pl.BlockSpec((1, 1, block_q),
+                             lambda bn, qi, *_: (bn, 0, qi),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q), lambda bn, qi, *_: (bn, qi),
+                pl.BlockSpec((1, 1, block_q),
+                             lambda bn, qi, *_: (bn, 0, qi),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, block_q, h),
@@ -346,9 +350,11 @@ def _bwd_impl(res, do4, causal, block_q, block_k, interpret):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, pt_q, h), lambda bn, ki, *_: (bn, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, pt_q), lambda bn, ki, *_: (bn, 0),
+                pl.BlockSpec((1, 1, pt_q),
+                             lambda bn, ki, *_: (bn, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, pt_q), lambda bn, ki, *_: (bn, 0),
+                pl.BlockSpec((1, 1, pt_q),
+                             lambda bn, ki, *_: (bn, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
