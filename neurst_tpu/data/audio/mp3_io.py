@@ -17,12 +17,16 @@ The reference delegates mp3 (CommonVoice clips) to pydub/ffmpeg
 (/root/reference/neurst/data/datasets/audio/audio_dataset.py:147-193).
 MPEG-1 Layer III has no reasonable from-scratch implementation budget,
 so this module probes, in order: the ``ffmpeg`` binary (no Python
-bindings needed), ``torchaudio``, ``miniaudio``, and ``pydub``.  When
-none is present it raises a NotImplementedError naming the remedies —
-the same failure mode the reference has on a host without ffmpeg.
+bindings needed), ``torchaudio``, ``miniaudio``, ``pydub``, and
+``pygame`` (SDL_mixer's built-in dr_mp3 decoder — needs no audio
+device: the probe initializes the mixer under SDL's dummy driver).
+When none is present it raises a NotImplementedError naming the
+remedies — the same failure mode the reference has on a host without
+ffmpeg.
 """
 
 import io
+import os
 import shutil
 import subprocess
 from typing import Optional, Tuple
@@ -51,7 +55,27 @@ def available_backend() -> Optional[str]:
             return _BACKEND
         except ImportError:
             continue
+    if _pygame_mixer() is not None:
+        _BACKEND = "pygame"
     return _BACKEND
+
+
+def _pygame_mixer():
+    """Imports pygame and verifies the mixer initializes headlessly
+    (SDL dummy audio driver); returns the mixer module or None."""
+    os.environ.setdefault("PYGAME_HIDE_SUPPORT_PROMPT", "1")
+    os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+    try:
+        import pygame
+    except ImportError:
+        return None
+    try:
+        if pygame.mixer.get_init() is None:
+            pygame.mixer.init()
+            pygame.mixer.quit()
+        return pygame.mixer
+    except pygame.error:
+        return None
 
 
 def _via_ffmpeg(data: bytes) -> Tuple[np.ndarray, int]:
@@ -71,8 +95,8 @@ def _via_ffmpeg(data: bytes) -> Tuple[np.ndarray, int]:
     return arr, rate
 
 
-def _frame_header_rate(data: bytes) -> int:
-    # parse the first MPEG audio frame header for the sample rate
+def _frame_header_info(data: bytes) -> Tuple[int, int]:
+    # parse the first MPEG audio frame header: (sample_rate, channels)
     rates = {0: 44100, 1: 48000, 2: 32000}
     pos = 0
     if data[:3] == b"ID3":  # skip the ID3v2 tag
@@ -83,16 +107,22 @@ def _frame_header_rate(data: bytes) -> int:
         if data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0:
             version = (data[pos + 1] >> 3) & 0x03
             rate_idx = (data[pos + 2] >> 2) & 0x03
+            mode = (data[pos + 3] >> 6) & 0x03  # 3 == single channel
             if rate_idx != 3:
                 base = rates[rate_idx]
+                channels = 1 if mode == 3 else 2
                 if version == 3:       # MPEG-1
-                    return base
+                    return base, channels
                 if version == 2:       # MPEG-2
-                    return base // 2
+                    return base // 2, channels
                 if version == 0:       # MPEG-2.5
-                    return base // 4
+                    return base // 4, channels
         pos += 1
-    return 44100
+    return 44100, 2
+
+
+def _frame_header_rate(data: bytes) -> int:
+    return _frame_header_info(data)[0]
 
 
 def decode_mp3(data: bytes) -> Tuple[np.ndarray, int]:
@@ -119,7 +149,30 @@ def decode_mp3(data: bytes) -> Tuple[np.ndarray, int]:
         seg = seg.set_channels(1).set_sample_width(2)
         arr = np.frombuffer(seg.raw_data, "<i2").astype(np.float32)
         return arr, int(seg.frame_rate)
+    if backend == "pygame":
+        return _via_pygame(data)
     raise NotImplementedError(
         "No mp3 decoder available on this host. Install ffmpeg (or "
-        "torchaudio/miniaudio/pydub), or pre-convert the corpus to wav "
-        "with examples' data-prep scripts.")
+        "torchaudio/miniaudio/pydub/pygame), or pre-convert the corpus "
+        "to wav with examples' data-prep scripts.")
+
+
+def _via_pygame(data: bytes) -> Tuple[np.ndarray, int]:
+    """SDL_mixer decode at the file's native rate/channels (parsed from
+    the frame header) so the mixer performs no resampling; the mixer is
+    re-initialized only when those differ from the current state."""
+    mixer = _pygame_mixer()
+    if mixer is None:
+        raise ValueError("pygame mixer unavailable for mp3 decode")
+    rate, channels = _frame_header_info(data)
+    init = mixer.get_init()
+    if init is None or init[0] != rate or abs(init[1]) != 16 \
+            or init[2] != channels:
+        if init is not None:
+            mixer.quit()
+        mixer.init(frequency=rate, size=-16, channels=channels)
+    snd = mixer.Sound(file=io.BytesIO(data))
+    arr = np.frombuffer(snd.get_raw(), np.int16).astype(np.float32)
+    if channels > 1:
+        arr = arr.reshape(-1, channels).mean(axis=1)
+    return arr, rate

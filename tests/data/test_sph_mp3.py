@@ -121,6 +121,41 @@ def test_mp3_gated_with_clear_error_or_decodes():
         pytest.skip(f"mp3 backend {available_backend()} present")
 
 
+def test_mp3_decodes_via_pygame_backend():
+    """When SDL_mixer (pygame) is the available backend, a real mp3
+    decodes to a plausible waveform at the header's native rate (no
+    mixer resampling).  Uses the mp3 pygame itself ships."""
+    import os
+    from neurst_tpu.data.audio.mp3_io import (_frame_header_info,
+                                              available_backend)
+    from neurst_tpu.data.audio.wav_io import decode_audio
+    if available_backend() != "pygame":
+        pytest.skip(f"backend is {available_backend()}, not pygame")
+    import pygame
+    sample = os.path.join(os.path.dirname(pygame.__file__),
+                          "examples", "data", "house_lo.mp3")
+    if not os.path.exists(sample):
+        pytest.skip("pygame example mp3 not shipped")
+    data = open(sample, "rb").read()
+    rate_hdr, _ = _frame_header_info(data)
+    wav, rate = decode_audio(data, "mp3")
+    assert rate == rate_hdr
+    assert wav.dtype == np.float32 and wav.ndim == 1
+    # several seconds of real audio with int16-scale energy
+    assert len(wav) > rate  # > 1 second
+    rms = float(np.sqrt(np.mean(wav ** 2)))
+    assert 100.0 < rms < 32768.0
+
+
+def test_mp3_frame_header_channels_parse():
+    from neurst_tpu.data.audio.mp3_io import _frame_header_info
+    # mode bits (byte 3 >> 6): 3 == single channel, else stereo-ish
+    mono = bytes([0xFF, 0xFB, 0x90, 0xC0])
+    assert _frame_header_info(mono + b"\0" * 10) == (44100, 1)
+    joint = bytes([0xFF, 0xFB, 0x90, 0x40])
+    assert _frame_header_info(joint + b"\0" * 10) == (44100, 2)
+
+
 def test_mp3_frame_header_rate_parse():
     from neurst_tpu.data.audio.mp3_io import _frame_header_rate
     # MPEG-1 Layer III, 44100 Hz frame sync header
