@@ -23,6 +23,17 @@ The cache is a plain pytree:
 self keys/values: [B, max_decode_len, heads, head_dim] (static shape);
 memory keys/values: [B, src_len, heads, head_dim] (precomputed once).
 Beam reorder = one ``jnp.take`` per leaf on axis 0.
+
+``scan_layers=True`` compiles the stack as ONE lax.scan-ned layer over
+stacked parameters (compile time O(1) in depth — deep GPT-2 stacks,
+deep speech decoders).  The cache then lives under a ``"stacked"`` key
+with a LEADING LAYER AXIS on every leaf
+    {"stacked": {"self": {keys [L, B, T, N, H], ...},
+                 "memory": {keys [L, B, S, N, H], ...}}}
+and the beam-search helpers detect the marker key and tile/reorder the
+batch on axis 1 (layer_utils.stack_beam_size_selective /
+gather_beams_selective).  Per-layer checkpoints bridge to/from the
+stacked layout transparently (checkpoints._bridge_scan_layouts).
 """
 
 from typing import Any, Optional
@@ -50,23 +61,43 @@ class TransformerDecoder(nn.Module):
     layer_postprocess_epsilon: float = 1e-6
     with_cross_attention: bool = True
     enable_flash_attention: bool = False
+    scan_layers: bool = False
     dtype: Any = jnp.float32
 
+    def _layer_kwargs(self):
+        return dict(
+            hidden_size=self.hidden_size,
+            num_attention_heads=self.num_attention_heads,
+            filter_size=self.filter_size,
+            ffn_activation=self.ffn_activation,
+            attention_dropout_rate=self.attention_dropout_rate,
+            ffn_dropout_rate=self.ffn_dropout_rate,
+            layer_postprocess_dropout_rate=self.layer_postprocess_dropout_rate,
+            post_normalize=self.post_normalize,
+            layer_postprocess_epsilon=self.layer_postprocess_epsilon,
+            with_cross_attention=self.with_cross_attention,
+            dtype=self.dtype)
+
     def setup(self):
-        self.layers = [
-            TransformerDecoderLayer(
-                hidden_size=self.hidden_size,
-                num_attention_heads=self.num_attention_heads,
-                filter_size=self.filter_size,
-                ffn_activation=self.ffn_activation,
-                attention_dropout_rate=self.attention_dropout_rate,
-                ffn_dropout_rate=self.ffn_dropout_rate,
-                layer_postprocess_dropout_rate=self.layer_postprocess_dropout_rate,
-                post_normalize=self.post_normalize,
-                layer_postprocess_epsilon=self.layer_postprocess_epsilon,
-                with_cross_attention=self.with_cross_attention,
-                dtype=self.dtype, name=f"layer_{i}")
-            for i in range(self.num_layers)]
+        if self.scan_layers:
+            # one traced layer; the per-layer cache slice is the scanned
+            # input/output (so the SAME scan serves teacher forcing,
+            # stepwise decode, and the memory k/v precompute)
+            self.layers = nn.scan(
+                _ScanDecoderBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(0,) + (nn.broadcast,) * 8,
+                out_axes=0,
+                length=self.num_layers,
+                metadata_params={nn.meta.PARTITION_NAME: "layers"},
+            )(layer_kwargs=tuple(sorted(self._layer_kwargs().items())),
+              name="layers")
+        else:
+            self.layers = [
+                TransformerDecoderLayer(
+                    **self._layer_kwargs(), name=f"layer_{i}")
+                for i in range(self.num_layers)]
         if not self.post_normalize:
             self.output_ln = LayerNorm(
                 epsilon=self.layer_postprocess_epsilon, dtype=self.dtype,
@@ -81,6 +112,19 @@ class TransformerDecoder(nn.Module):
             batch_size = encoder_outputs.shape[0] \
                 if encoder_outputs is not None else 1
         head_dim = self.hidden_size // self.num_attention_heads
+        if self.scan_layers:
+            zeros = jnp.zeros(
+                (self.num_layers, batch_size, decode_padded_length,
+                 self.num_attention_heads, head_dim), dtype=self.dtype)
+            stacked = {"self": {"keys": zeros, "values": zeros}}
+            if self.with_cross_attention:
+                dummy = jnp.zeros(
+                    (batch_size, 1, self.hidden_size), self.dtype)
+                _, mem = self.layers(dummy, None, None, encoder_outputs,
+                                     None, None, False, False, None,
+                                     "memorize")
+                stacked.update(mem)
+            return {"stacked": stacked}
         cache = {}
         for i, layer in enumerate(self.layers):
             zeros = jnp.zeros(
@@ -120,7 +164,10 @@ class TransformerDecoder(nn.Module):
                 self_bias = layer_utils.causal_self_attention_bias(length)
         else:
             length = 1
-            max_len = cache["layer_0"]["self"]["keys"].shape[1]
+            if self.scan_layers:
+                max_len = cache["stacked"]["self"]["keys"].shape[2]
+            else:
+                max_len = cache["layer_0"]["self"]["keys"].shape[1]
             positions = jnp.arange(max_len)
             self_bias = jnp.where(positions <= decode_step, 0.0,
                                   layer_utils.NEG_INF)[None, None, None, :]
@@ -147,17 +194,50 @@ class TransformerDecoder(nn.Module):
                     )[None, None, None, :]
 
         x = inputs
-        new_cache = {} if cache is not None else None
-        for i, layer in enumerate(self.layers):
-            layer_cache = None if cache is None else cache.get(f"layer_{i}")
-            x, upd = layer(
-                x, self_attention_bias=self_bias, memory=memory,
-                memory_bias=memory_bias, cache=layer_cache,
-                decode_step=decode_step, is_training=is_training,
-                self_flash_causal=use_flash,
-                cross_flash_lengths=cross_flash_lengths)
-            if new_cache is not None:
-                new_cache[f"layer_{i}"] = upd
+        if self.scan_layers:
+            stacked_in = None if cache is None else cache["stacked"]
+            x, ys = self.layers(x, stacked_in, self_bias, memory,
+                                memory_bias, decode_step, is_training,
+                                use_flash, cross_flash_lengths, "forward")
+            new_cache = None if cache is None else {"stacked": ys}
+        else:
+            new_cache = {} if cache is not None else None
+            for i, layer in enumerate(self.layers):
+                layer_cache = None if cache is None \
+                    else cache.get(f"layer_{i}")
+                x, upd = layer(
+                    x, self_attention_bias=self_bias, memory=memory,
+                    memory_bias=memory_bias, cache=layer_cache,
+                    decode_step=decode_step, is_training=is_training,
+                    self_flash_causal=use_flash,
+                    cross_flash_lengths=cross_flash_lengths)
+                if new_cache is not None:
+                    new_cache[f"layer_{i}"] = upd
         if not self.post_normalize:
             x = self.output_ln(x)
         return x, new_cache
+
+
+class _ScanDecoderBody(nn.Module):
+    """nn.scan target: carries the hidden state through one decoder
+    layer; the layer's cache slice is the scanned input/output, all
+    other inputs are broadcast.  ``mode="memorize"`` runs only the
+    cross-attention k/v precompute (the scanned output becomes the
+    stacked memory cache)."""
+    layer_kwargs: tuple  # sorted (key, value) pairs (hashable for flax)
+
+    @nn.compact
+    def __call__(self, carry, layer_cache, self_bias, memory, memory_bias,
+                 decode_step, is_training, self_flash_causal,
+                 cross_flash_lengths, mode):
+        layer = TransformerDecoderLayer(
+            **dict(self.layer_kwargs), name="layer")
+        if mode == "memorize":
+            return carry, layer.memorize_memory(memory)
+        x, upd = layer(
+            carry, self_attention_bias=self_bias, memory=memory,
+            memory_bias=memory_bias, cache=layer_cache,
+            decode_step=decode_step, is_training=is_training,
+            self_flash_causal=self_flash_causal,
+            cross_flash_lengths=cross_flash_lengths)
+        return x, upd

@@ -93,17 +93,21 @@ def stack_beam_size_selective(nested, beam_size,
     encoder-derived cross-attention k/v and memory padding bit-for-bit,
     so tiling them only multiplies the per-step HBM reads by beam_size.
     The cross-attention computes the shared-kv case with a grouped
-    einsum (MultiHeadAttention detects the batch mismatch)."""
+    einsum (MultiHeadAttention detects the batch mismatch).
 
-    def walk(node, under_skip):
+    Leaves under a ``"stacked"`` key (scan-over-layers decoders) carry a
+    leading layer axis, so their batch axis is 1, not 0."""
+
+    def walk(node, under_skip, axis):
         if isinstance(node, dict):
-            return {k: walk(v, under_skip or (k in skip_keys))
+            return {k: walk(v, under_skip or (k in skip_keys),
+                            1 if k == "stacked" else axis)
                     for k, v in node.items()}
         if under_skip or node is None:
             return node
-        return stack_beam_size(node, beam_size)
+        return jnp.repeat(node, beam_size, axis=axis)
 
-    return walk(nested, False)
+    return walk(nested, False, 0)
 
 
 def gather_beams_selective(nested, beam_indices, skip_keys=("memory",
@@ -116,15 +120,18 @@ def gather_beams_selective(nested, beam_indices, skip_keys=("memory",
     fixed points of the gather.  Skipping them cuts the per-step HBM
     traffic of beam reordering by ~an order of magnitude for speech
     inputs (long source, short target).
-    """
-    import jax
 
-    def walk(node, under_skip):
+    Leaves under a ``"stacked"`` key (scan-over-layers decoders) carry a
+    leading layer axis, so their batch axis is 1, not 0.
+    """
+
+    def walk(node, under_skip, axis):
         if isinstance(node, dict):
-            return {k: walk(v, under_skip or (k in skip_keys))
+            return {k: walk(v, under_skip or (k in skip_keys),
+                            1 if k == "stacked" else axis)
                     for k, v in node.items()}
         if under_skip or node is None:
             return node
-        return jnp.take(node, beam_indices, axis=0)
+        return jnp.take(node, beam_indices, axis=axis)
 
-    return walk(nested, False)
+    return walk(nested, False, 0)

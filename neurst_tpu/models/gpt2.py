@@ -45,6 +45,7 @@ class GPT2Module(nn.Module):
     timing: str = "emb"
     ffn_activation: str = "gelu_approx"  # GPT-2 uses gelu_new (tanh approx)
     epsilon: float = 1e-5
+    scan_layers: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -64,6 +65,7 @@ class GPT2Module(nn.Module):
             post_normalize=False,
             layer_postprocess_epsilon=self.epsilon,
             with_cross_attention=False,
+            scan_layers=self.scan_layers,
             dtype=self.dtype, name="decoder")
 
     def __call__(self, inputs, is_training=False):
@@ -103,6 +105,7 @@ class GPT2(BaseModel):
             dropout_rate=a.get("dropout_rate") or 0.1,
             timing=a.get("timing") or "emb",
             epsilon=a.get("epsilon") or 1e-5,
+            scan_layers=bool(a.get("scan_layers")),
             dtype=dtype_by_name(a.get("dtype")))
 
     @property
@@ -128,6 +131,10 @@ class GPT2(BaseModel):
                  help="The position embedding type."),
             Flag("epsilon", dtype=Flag.TYPE.FLOAT, default=1e-5,
                  help="The layer-norm epsilon."),
+            Flag("scan_layers", dtype=Flag.TYPE.BOOLEAN, default=None,
+                 help="Compile the block stack as one lax.scan-ned "
+                      "layer over stacked parameters (O(1)-in-depth "
+                      "compiles for deep stacks)."),
             Flag("dtype", dtype=Flag.TYPE.STRING, default="bfloat16",
                  help="The computation dtype."),
         ]

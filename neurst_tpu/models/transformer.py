@@ -85,6 +85,14 @@ def _encdec_flags(prefix):
                            "Numerics are identical; per-layer "
                            "checkpoints load transparently."))
     if prefix == "decoder":
+        f.append(Flag("decoder.scan_layers",
+                      dtype=Flag.TYPE.BOOLEAN, default=None,
+                      help="Compile the decoder stack as one "
+                           "lax.scan-ned layer over stacked parameters "
+                           "(covers teacher forcing AND the stepwise "
+                           "decode-cache path): compile time is O(1) "
+                           "in depth.  Numerics are identical; "
+                           "per-layer checkpoints load transparently."))
         f.append(Flag("decoder.enable_flash_attention",
                       dtype=Flag.TYPE.BOOLEAN, default=None,
                       help="Use the Pallas flash-attention kernel for "
