@@ -23,7 +23,13 @@ with DROPOUT (threefry bits + mask round-trips) accounting for 114 ms
 faster isolated (19.4 vs 29.3 ms) but slower end-to-end (fusion
 breaks), so it stays opt-in.  Remaining floor: the no-dropout step is
 ~140 ms, of which ~63 ms is MXU flops at d=512 — the rest is
-activation bandwidth, the honest bound for this model size.
+activation bandwidth, the honest bound for this model size.  Two more
+levers were measured against that bound and LOSE at this shape (both
+help only at long sequence / tight memory): flash attention enc+dec
+211.2 ms vs dense 182.4 (XLA's fused attention wins at T=128), and
+rematerialization 228.7 (full) / 233.3 (dots_no_batch_dims) vs 176.6
+without (recompute costs more than the activation traffic it saves
+when XLA has already fused the elementwise chain).
 
 Decode shape note (measured on v5e, speech_transformer_s beam-4,
 1024 frames): full-decode time is ~linear in batch*beam rows
