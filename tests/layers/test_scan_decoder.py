@@ -124,6 +124,37 @@ def test_scan_decoder_grads_match_loop():
                                    err_msg=name)
 
 
+def test_scan_decoder_waitk_lagging_matches_loop():
+    """decode_lagging (wait-k cross-attention masking) broadcasts
+    through the scan: teacher-forcing logits equal the loop decoder."""
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.models.transformer import Transformer
+
+    def make(scan):
+        cfg = dict(Transformer.build_model_args_by_name(
+            "transformer_toy")["model.params"])
+        cfg.update({"dtype": "float32", "wait_k": 2,
+                    "encoder.attention_monotonic": True,
+                    "decoder.scan_layers": scan})
+        for prefix in ("encoder", "decoder"):
+            for key in ("attention_dropout_rate", "ffn_dropout_rate",
+                        "layer_postprocess_dropout_rate"):
+                cfg[f"{prefix}.{key}"] = 0.0
+        return build_model({"model.class": "waitk_transformer",
+                            "model.params": cfg},
+                           src_meta=META, trg_meta=META)
+
+    loop = make(False)
+    scan = make(True)
+    params_loop, params_scan = _bridged_params(loop, scan)
+    inputs = {"src": np.array([[3, 4, 5, 6, 7, 19]], np.int32),
+              "src_padding": np.zeros([1, 6], np.float32),
+              "trg_input": np.array([[19, 2, 3]], np.int32)}
+    out_loop = np.asarray(loop.call(params_loop, inputs))
+    out_scan = np.asarray(scan.call(params_scan, inputs))
+    np.testing.assert_allclose(out_scan, out_loop, rtol=0, atol=1e-5)
+
+
 def test_scan_decoder_gpt2_teacher_forcing_and_generation():
     """Decoder-only (no cross attention): scan matches loop for the LM
     forward and for prompt-prefill greedy generation."""
