@@ -58,12 +58,27 @@ class LabelSmoothedCrossEntropyWithKd(LabelSmoothedCrossEntropy):
         KL shares the CE's trg-token normalizer); for the CTNMT
         state-MSE branch the KD normalizer is source positions, so
         token weighting is a close approximation rather than exact."""
-        _, _, n_tokens = self(model_inp, model_out)
-        n = jnp.sum(n_tokens)
-        return self.reduce_loss(model_inp, model_out) * n, n
+        ce_sum, n = super().reduce_loss_terms(model_inp, model_out)
+        kd = self._kd_term(model_inp, model_out)
+        if kd is None:
+            return ce_sum, n
+        # loss_sum/denom must equal reduce_loss: fold the (already
+        # mean-normalized) KD term in at weight w per token
+        return ((1.0 - self._kd_weight) * ce_sum
+                + self._kd_weight * kd * n), n
 
     def reduce_loss(self, model_inp, model_out):
         ce = super().reduce_loss(model_inp, model_out)
+        kd = self._kd_term(model_inp, model_out)
+        if kd is None:
+            return ce
+        return (1.0 - self._kd_weight) * ce + self._kd_weight * kd
+
+    def _kd_term(self, model_inp, model_out):
+        """The mean-normalized distillation term (temperature factor
+        included), or None when no teacher signal is present.  Kept
+        separate from the CE so reduce_loss_terms computes the [B,T,V]
+        CE reductions exactly once."""
         logits = model_out["logits"] if isinstance(model_out, dict) \
             else model_out
         teacher_logits = None
@@ -86,10 +101,8 @@ class LabelSmoothedCrossEntropyWithKd(LabelSmoothedCrossEntropy):
                 # (reference uses square(norm(s - t)), i.e. a SUM, not
                 # a mean — a mean under-weights KD by ~hidden_size)
                 sq = jnp.sum((s - t) ** 2, axis=-1)
-                kd_loss = jnp.sum(sq * w) / jnp.maximum(jnp.sum(w), 1.)
-                return (1.0 - self._kd_weight) * ce \
-                    + self._kd_weight * kd_loss
-            return ce
+                return jnp.sum(sq * w) / jnp.maximum(jnp.sum(w), 1.)
+            return None
         t = self._kd_temperature
         student_lp = jax.nn.log_softmax(
             logits.astype(jnp.float32) / t, axis=-1)
@@ -105,5 +118,4 @@ class LabelSmoothedCrossEntropyWithKd(LabelSmoothedCrossEntropy):
             weights = input_length_to_nonpadding(
                 model_inp["trg_length"], labels.shape[1])
         kd_loss = jnp.sum(kl * weights) / jnp.maximum(jnp.sum(weights), 1.)
-        return (1.0 - self._kd_weight) * ce \
-            + self._kd_weight * (t ** 2) * kd_loss
+        return (t ** 2) * kd_loss

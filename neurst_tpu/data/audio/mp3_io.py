@@ -55,7 +55,7 @@ def available_backend() -> Optional[str]:
             return _BACKEND
         except ImportError:
             continue
-    if _pygame_mixer() is not None:
+    if _pygame_mixer() is not None and _pygame_decodes_mp3():
         _BACKEND = "pygame"
     return _BACKEND
 
@@ -76,6 +76,25 @@ def _pygame_mixer():
         return pygame.mixer
     except pygame.error:
         return None
+
+
+def _pygame_decodes_mp3() -> bool:
+    """Mixer init alone does not prove mp3 support (SDL_mixer can be
+    built without dr_mp3/mpg123); probe by decoding the mp3 pygame
+    itself ships.  Without that file the probe stays permissive —
+    decode_mp3 still converts a failing Sound() into the documented
+    NotImplementedError."""
+    import pygame
+    sample = os.path.join(os.path.dirname(pygame.__file__),
+                          "examples", "data", "house_lo.mp3")
+    if not os.path.exists(sample):
+        return True
+    try:
+        with open(sample, "rb") as f:
+            _via_pygame(f.read())
+        return True
+    except (pygame.error, ValueError, NotImplementedError):
+        return False
 
 
 def _via_ffmpeg(data: bytes) -> Tuple[np.ndarray, int]:
@@ -171,7 +190,16 @@ def _via_pygame(data: bytes) -> Tuple[np.ndarray, int]:
         if init is not None:
             mixer.quit()
         mixer.init(frequency=rate, size=-16, channels=channels)
-    snd = mixer.Sound(file=io.BytesIO(data))
+    import pygame
+    try:
+        snd = mixer.Sound(file=io.BytesIO(data))
+    except pygame.error as e:
+        # SDL_mixer built without an mp3 decoder reaches here with an
+        # opaque 'Unsupported audio format'; surface the remedies
+        raise NotImplementedError(
+            "pygame/SDL_mixer on this host cannot decode mp3 "
+            f"({e}). Install ffmpeg (or torchaudio/miniaudio/pydub), "
+            "or pre-convert the corpus to wav.") from e
     arr = np.frombuffer(snd.get_raw(), np.int16).astype(np.float32)
     if channels > 1:
         arr = arr.reshape(-1, channels).mean(axis=1)

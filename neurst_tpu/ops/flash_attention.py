@@ -99,10 +99,9 @@ def _fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
             jnp.full((block_q,), NEG_INF, jnp.float32),
             jnp.zeros((block_q,), jnp.float32))
     if causal:
-        # only k-blocks up to (and including) this q-block contribute
-        upper = jnp.minimum(num_kb, (qi + 1) * block_q // block_k
-                            + (1 if block_q % block_k else 0) + 1)
-        upper = jnp.minimum(upper, num_kb)
+        # only k-blocks overlapping rows <= (qi+1)*block_q - 1 contribute
+        upper = jnp.minimum(
+            num_kb, ((qi + 1) * block_q + block_k - 1) // block_k)
         acc, m, l = jax.lax.fori_loop(0, upper, body, init)
     else:
         acc, m, l = jax.lax.fori_loop(0, num_kb, body, init)
@@ -153,9 +152,8 @@ def _dq_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             preferred_element_type=jnp.float32)
 
     if causal:
-        upper = jnp.minimum(num_kb, (qi + 1) * block_q // block_k
-                            + (1 if block_q % block_k else 0) + 1)
-        upper = jnp.minimum(upper, num_kb)
+        upper = jnp.minimum(
+            num_kb, ((qi + 1) * block_q + block_k - 1) // block_k)
         acc = jax.lax.fori_loop(
             0, upper, body, jnp.zeros((block_q, head_dim), jnp.float32))
     else:

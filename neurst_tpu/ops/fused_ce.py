@@ -50,6 +50,8 @@ _VBLOCK = 4096
 
 
 def fused_ce_available(vocab_size: int) -> bool:
+    # vocab need not divide _VBLOCK (the ragged final block is masked
+    # on the column index), but must be lane-aligned
     return jax.default_backend() == "tpu" and vocab_size % 128 == 0 \
         and vocab_size >= _VBLOCK
 
@@ -75,6 +77,11 @@ def _fwd_kernel(z_ref, label_ref, xent_ref, lse_ref,
     label = label_ref[:]                        # [rows, 1] int32
     col = j * vblock + jax.lax.broadcasted_iota(jnp.int32,
                                                 (rows, vblock), 1)
+    # the final vocab block may be ragged (vocab % vblock != 0): its
+    # out-of-range lanes hold unspecified padding, so mask every
+    # reduction on the column index
+    valid = col < vocab
+    z = jnp.where(valid, z, NEG_INF)
     m_prev = m_sc[:]                            # [rows, 1]
     m_new = jnp.maximum(m_prev, jnp.max(z, axis=1, keepdims=True))
     alpha = jnp.exp(m_prev - m_new)
@@ -84,7 +91,8 @@ def _fwd_kernel(z_ref, label_ref, xent_ref, lse_ref,
     onehot = col == label
     zy_sc[:] = zy_sc[:] + jnp.sum(jnp.where(onehot, z, 0.0), axis=1,
                                   keepdims=True)
-    sz_sc[:] = sz_sc[:] + jnp.sum(z, axis=1, keepdims=True)
+    sz_sc[:] = sz_sc[:] + jnp.sum(jnp.where(valid, z, 0.0), axis=1,
+                                  keepdims=True)
 
     @pl.when(j == nv - 1)
     def _():
@@ -104,11 +112,12 @@ def _bwd_kernel(z_ref, label_ref, lse_ref, g_ref, dz_ref, *,
     j = pl.program_id(1)
     col = j * vblock + jax.lax.broadcasted_iota(jnp.int32,
                                                 (rows, vblock), 1)
-    p = jnp.exp(z - lse)
+    valid = col < vocab
+    p = jnp.exp(jnp.where(valid, z, NEG_INF) - lse)
     onehot = (col == label).astype(jnp.float32)
     dz = ((confidence - low_confidence) * (p - onehot)
           + low_confidence * (vocab * p - 1.0))
-    dz_ref[:] = (g * dz).astype(dz_ref.dtype)
+    dz_ref[:] = jnp.where(valid, g * dz, 0.0).astype(dz_ref.dtype)
 
 
 def _row_spec(rows):
@@ -120,7 +129,7 @@ def _impl_fwd(z2, labels1, confidence, low_confidence, interpret):
     r, v = z2.shape
     rows = min(_ROWS, r)
     vb = min(_VBLOCK, v)
-    grid = (-(-r // rows), v // vb)
+    grid = (-(-r // rows), -(-v // vb))
     kernel = functools.partial(_fwd_kernel, confidence=confidence,
                                low_confidence=low_confidence, vocab=v)
     xent, lse = pl.pallas_call(
@@ -146,7 +155,7 @@ def _impl_bwd(z2, labels1, lse, g, confidence, low_confidence, interpret):
     r, v = z2.shape
     rows = min(_ROWS, r)
     vb = min(_VBLOCK, v)
-    grid = (-(-r // rows), v // vb)
+    grid = (-(-r // rows), -(-v // vb))
     kernel = functools.partial(_bwd_kernel, confidence=confidence,
                                low_confidence=low_confidence, vocab=v)
     return pl.pallas_call(

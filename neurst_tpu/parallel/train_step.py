@@ -111,10 +111,17 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
             (loss_sum, denom), grads = jax.value_and_grad(
                 terms_fn, has_aux=True)(params, micro_batch, micro_rng)
             acc_grads = jax.tree_util.tree_map(
-                lambda a, g: a + g, acc_grads, grads)
+                lambda a, g: a + g.astype(a.dtype), acc_grads, grads)
             return (acc_loss + loss_sum, acc_denom + denom, acc_grads), None
 
-        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        # accumulate in f32 even when params (hence grads) are bf16
+        # (--bf16_params): summing update_cycle bf16 terms in bf16 would
+        # round away small micro-batch contributions before the f32
+        # master ever sees them
+        zero_grads = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32)
+            if jnp.issubdtype(p.dtype, jnp.inexact) else jnp.zeros_like(p),
+            params)
         rngs = jax.random.split(rng, update_cycle)
         (loss_sum, denom, grads), _ = jax.lax.scan(
             micro_step, (jnp.zeros([], jnp.float32),

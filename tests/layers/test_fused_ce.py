@@ -60,6 +60,32 @@ def test_fused_ce_bf16_and_ragged_rows():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_fused_ce_ragged_vocab_block():
+    """vocab > _VBLOCK and NOT a multiple of it (e.g. a 32000-word BPE
+    vocab in production): the final vocab block is ragged and must be
+    masked, not dropped (regression: truncating grid division skipped
+    the tail columns entirely)."""
+    from neurst_tpu.ops import fused_ce
+    rng = np.random.RandomState(3)
+    vocab = fused_ce._VBLOCK + 1024
+    smoothing = 0.1
+    c = 1.0 - smoothing
+    low = smoothing / (vocab - 1)
+    logits = jnp.asarray(rng.randn(9, vocab), jnp.float32)
+    # force labels into the ragged tail so z_label depends on it
+    labels = jnp.asarray(rng.randint(fused_ce._VBLOCK, vocab, size=(9,)),
+                         jnp.int32)
+    ours = fused_softmax_xent(logits, labels, c, low, interpret=True)
+    ref = _ref_xent(logits, labels, c, low)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    g1 = np.asarray(jax.grad(lambda z: jnp.sum(fused_softmax_xent(
+        z, labels, c, low, interpret=True)))(logits))
+    g2 = np.asarray(jax.grad(lambda z: jnp.sum(_ref_xent(
+        z, labels, c, low)))(logits))
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-5)
+
+
 def test_criterion_uses_same_semantics():
     """The criterion's jnp path (active on CPU) is the kernel's
     reference; a spot check that the criterion still reduces as

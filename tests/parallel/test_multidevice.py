@@ -347,3 +347,49 @@ def test_bf16_params_state_roundtrip_is_exact(meshes):
         s2, _ = step(s2, host, jax.random.PRNGKey(7))
     resumed = jax.tree_util.tree_map(np.asarray, s2.params)
     assert _max_tree_diff(straight, resumed) == 0.0
+
+
+def test_grad_accum_with_bf16_params_accumulates_in_f32(meshes):
+    """update_cycle>1 with --bf16_params: micro-gradients arrive in
+    bf16 (grads inherit the param dtype) but MUST be summed in an f32
+    accumulator — a bf16 accumulator rounds away small micro-batch
+    contributions before the f32 master ever sees them (regression:
+    zeros_like(params) inherited bfloat16)."""
+    import optax
+
+    from neurst_tpu.criterions.label_smoothed_cross_entropy import \
+        LabelSmoothedCrossEntropy
+    from neurst_tpu.optimizers.master_weights import (cast_params_bf16,
+                                                      with_bf16_params)
+    from neurst_tpu.parallel import TrainState, make_train_step
+    model = _toy_model()
+    criterion = LabelSmoothedCrossEntropy({"label_smoothing": 0.1})
+
+    seen = {}
+
+    def probe():
+        def init(params):
+            return optax.EmptyState()
+
+        def update(updates, state, params=None):
+            seen["dtypes"] = {str(u.dtype) for u in
+                              jax.tree_util.tree_leaves(updates)
+                              if jnp.issubdtype(u.dtype, jnp.inexact)}
+            return updates, state
+
+        return optax.GradientTransformation(init, update)
+
+    # probe OUTSIDE with_bf16_params: it must see the raw accumulated
+    # gradients exactly as compute_grads emits them (the wrapper itself
+    # casts to f32, which would mask a bf16 accumulator)
+    tx = optax.chain(probe(), with_bf16_params(optax.sgd(0.05)))
+    params = cast_params_bf16(model.init_params(jax.random.PRNGKey(0)))
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(model, criterion, tx, update_cycle=4))
+    host = _batch(seed=11)
+    host = {k: v.reshape((4, -1) + v.shape[1:]) for k, v in host.items()}
+    state, metrics = step(state, host, jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics["loss"]))
+    # probe sits INSIDE with_bf16_params (it casts to f32 first), so
+    # this asserts the whole accumulate->update path is f32
+    assert seen["dtypes"] == {"float32"}, seen["dtypes"]
