@@ -38,12 +38,15 @@ from neurst_tpu.layers.search.sequence_search import build_search_layer
 from neurst_tpu.tasks.task import build_task
 from neurst_tpu.utils import checkpoints as ckpt_lib
 from neurst_tpu.utils.compat import DataStatus, ModeKeys
-from neurst_tpu.utils.configurable import ModelConfigs
+from neurst_tpu.utils.configurable import (ModelConfigs,
+                                           strip_training_only_model_flags)
 
 
 def _decode_dataset(model_dir, dataset, beam_size, max_len, batch_size):
     """Generic: rebuild task+model from model_dir, beam-decode dataset."""
     cfg = ModelConfigs.load(model_dir)
+    cfg["model.params"] = strip_training_only_model_flags(
+        cfg.get("model.params"))
     task = build_task(cfg)
     model = task.build_model(cfg)
     params = model.init_params(jax.random.PRNGKey(0))

@@ -177,6 +177,18 @@ def run_experiment(args):
             # explicit top-level dtype (CLI or config) wins over the
             # model flag's default
             model_params["dtype"] = args["dtype"]
+        from neurst_tpu.exps.trainer import Trainer
+        from neurst_tpu.utils.registry import get_registered_class
+        entry_cls = get_registered_class(args.get("entry.class"), "entry")
+        is_train = isinstance(entry_cls, type) \
+            and issubclass(entry_cls, Trainer)
+        if not is_train:
+            # pipeline parallelism is a training-step layout; decode/
+            # eval/export rebuild the sequential model and the restore
+            # bridge reshapes pipeline-trained checkpoints
+            from neurst_tpu.utils.configurable import \
+                strip_training_only_model_flags
+            model_params = strip_training_only_model_flags(model_params)
         model = task.build_model({"model.class": args["model.class"],
                                   "model.params": model_params})
     entry_args = deep_merge_dict(dict(args), args.get("entry.params") or {})

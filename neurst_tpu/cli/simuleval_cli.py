@@ -34,7 +34,8 @@ import neurst_tpu  # noqa: F401
 from neurst_tpu.tasks.task import build_task
 from neurst_tpu.utils import checkpoints as ckpt_lib
 from neurst_tpu.utils.compat import DataStatus
-from neurst_tpu.utils.configurable import ModelConfigs
+from neurst_tpu.utils.configurable import (ModelConfigs,
+                                           strip_training_only_model_flags)
 from neurst_tpu.utils.simuleval_agents.simul_trans_text_agent import (
     SimulTransTextAgent, average_lagging)
 
@@ -118,6 +119,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     cfg = ModelConfigs.load(args.model_dir)
+    cfg["model.params"] = strip_training_only_model_flags(
+        cfg.get("model.params"))
     task = build_task(cfg)
     model = task.build_model(cfg)
     params = model.init_params(jax.random.PRNGKey(0))

@@ -139,8 +139,9 @@ class SequenceGenerator(BaseExperiment):
     def _maybe_build_ensemble(self):
         """Multiple model_dirs (comma-separated) -> prob-space ensemble
         (parity: sequence_generator.py:86-109)."""
-        from neurst_tpu.utils.configurable import (ModelConfigs,
-                                                   flatten_string_list)
+        from neurst_tpu.utils.configurable import (
+            ModelConfigs, flatten_string_list,
+            strip_training_only_model_flags)
         model_dirs = flatten_string_list(self._model_dir)
         if len(model_dirs) <= 1:
             return None
@@ -150,6 +151,8 @@ class SequenceGenerator(BaseExperiment):
         models, params_list = [], []
         for d in model_dirs:
             cfg = ModelConfigs.load(d)
+            cfg["model.params"] = strip_training_only_model_flags(
+                cfg.get("model.params"))
             task = build_task(cfg)
             model = task.build_model(cfg)
             params = model.init_params(jax.random.PRNGKey(0))

@@ -26,6 +26,7 @@ fp16 loss-scaling machinery (bf16 needs no loss scale).
 """
 
 import logging
+import math
 import os
 import time
 from typing import Optional
@@ -101,6 +102,10 @@ class Trainer(BaseExperiment):
                       "from each pretrain_model."),
             Flag("num_model_partitions", dtype=Flag.TYPE.INTEGER, default=1,
                  help="Tensor-parallel size (mesh 'model' axis)."),
+            Flag("pipeline_parallel", dtype=Flag.TYPE.INTEGER, default=1,
+                 help="Pipeline-parallel size (mesh 'stage' axis); pair "
+                      "with encoder/decoder.pipeline_stages set to the "
+                      "same value."),
             Flag("distribution_strategy", dtype=Flag.TYPE.STRING,
                  default=None,
                  help="Kept for recipe compatibility (the mesh replaces "
@@ -265,7 +270,8 @@ class Trainer(BaseExperiment):
 
         # ---------------- mesh + jit ---------------- #
         tp = int(args.get("num_model_partitions") or 1)
-        mesh = make_mesh(model_parallel=tp)
+        pp = int(args.get("pipeline_parallel") or 1)
+        mesh = make_mesh(model_parallel=tp, pipeline_parallel=pp)
         num_replicas = mesh.shape["data"]
         p_shardings = params_shardings(mesh, model.params_spec())
         params = jax.tree_util.tree_map(
@@ -359,10 +365,19 @@ class Trainer(BaseExperiment):
             validator = build_validator(args).build(task, model, model_dir)
             logging.info("Inline validator: %s", args["validator.class"])
         # bucket batch sizes must divide dp (and per-micro-batch dp
-        # when accumulating)
+        # when accumulating), and the pipeline microbatch count when
+        # layer pipelining is on (layers/pipeline.py reshapes the batch
+        # into [microbatches, batch//microbatches, ...])
         batch_args = dict(args)
-        batch_args["batch_size_multiple"] = max(
-            8, num_replicas * update_cycle)
+        multiple = max(8, num_replicas * update_cycle)
+        mp_cfg = dict(args.get("model.params") or {})
+        for side in ("encoder", "decoder"):
+            stages = int(mp_cfg.get(f"{side}.pipeline_stages") or 1)
+            if stages > 1:
+                mb = int(mp_cfg.get(f"{side}.pipeline_microbatches")
+                         or stages)
+                multiple = multiple * mb // math.gcd(multiple, mb)
+        batch_args["batch_size_multiple"] = multiple
         batch_iter_fn = task.create_batch_iterator(
             self._custom_dataset, compat.ModeKeys.TRAIN, batch_args,
             num_replicas_in_sync=num_replicas,

@@ -62,6 +62,8 @@ class TransformerDecoder(nn.Module):
     with_cross_attention: bool = True
     enable_flash_attention: bool = False
     scan_layers: bool = False
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 0
     dtype: Any = jnp.float32
 
     def _layer_kwargs(self):
@@ -79,7 +81,24 @@ class TransformerDecoder(nn.Module):
             dtype=self.dtype)
 
     def setup(self):
-        if self.scan_layers:
+        if self.pipeline_stages > 1:
+            # training/teacher-forcing pipelining (layers/pipeline.py).
+            # Stepwise decode uses the scan/per-layer layout instead:
+            # predict entries force pipeline_stages=1 and the
+            # checkpoint bridge reshapes the stacked params.
+            if self.enable_flash_attention:
+                raise ValueError(
+                    "pipeline_stages>1 composes with the dense attention "
+                    "path only")
+            from neurst_tpu.layers.pipeline import PipelinedDecoderLayers
+            self.layers = PipelinedDecoderLayers(
+                layer_kwargs=tuple(sorted(self._layer_kwargs().items())),
+                num_layers=self.num_layers,
+                num_stages=self.pipeline_stages,
+                num_microbatches=(self.pipeline_microbatches
+                                  or self.pipeline_stages),
+                dtype=self.dtype, name="layers")
+        elif self.scan_layers:
             # one traced layer; the per-layer cache slice is the scanned
             # input/output (so the SAME scan serves teacher forcing,
             # stepwise decode, and the memory k/v precompute)
@@ -111,6 +130,11 @@ class TransformerDecoder(nn.Module):
         if batch_size is None:
             batch_size = encoder_outputs.shape[0] \
                 if encoder_outputs is not None else 1
+        if self.pipeline_stages > 1:
+            raise NotImplementedError(
+                "Stepwise decode with pipeline_stages>1: restore the "
+                "checkpoint into a scan_layers/per-layer model instead "
+                "(the restore bridge reshapes the stacked params)")
         head_dim = self.hidden_size // self.num_attention_heads
         if self.scan_layers:
             zeros = jnp.zeros(
@@ -194,7 +218,16 @@ class TransformerDecoder(nn.Module):
                     )[None, None, None, :]
 
         x = inputs
-        if self.scan_layers:
+        if self.pipeline_stages > 1:
+            if cache is not None or decode_step is not None:
+                raise NotImplementedError(
+                    "pipeline_stages>1 supports the teacher-forcing "
+                    "path only; decode with a scan_layers/per-layer "
+                    "model (checkpoint bridge reshapes the params)")
+            x = self.layers(x, self_bias, memory, memory_bias,
+                            is_training)
+            new_cache = None
+        elif self.scan_layers:
             stacked_in = None if cache is None else cache["stacked"]
             x, ys = self.layers(x, stacked_in, self_bias, memory,
                                 memory_bias, decode_step, is_training,

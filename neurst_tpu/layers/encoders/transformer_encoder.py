@@ -47,6 +47,8 @@ class TransformerEncoder(nn.Module):
     enable_ring_attention: bool = False
     ring_attention_axis: str = "data"
     scan_layers: bool = False
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 0
     dtype: Any = jnp.float32
 
     def _layer_kwargs(self):
@@ -63,7 +65,23 @@ class TransformerEncoder(nn.Module):
             dtype=self.dtype)
 
     def setup(self):
-        if self.scan_layers:
+        if self.pipeline_stages > 1:
+            # layer pipelining over the mesh "stage" axis (GPipe
+            # schedule, layers/pipeline.py); dense-bias attention only
+            if self.enable_flash_attention or self.enable_ring_attention:
+                raise ValueError(
+                    "pipeline_stages>1 composes with the dense attention "
+                    "path only (flash/ring attention operate within a "
+                    "single stage's devices)")
+            from neurst_tpu.layers.pipeline import PipelinedEncoderLayers
+            self.layers = PipelinedEncoderLayers(
+                layer_kwargs=tuple(sorted(self._layer_kwargs().items())),
+                num_layers=self.num_layers,
+                num_stages=self.pipeline_stages,
+                num_microbatches=(self.pipeline_microbatches
+                                  or self.pipeline_stages),
+                dtype=self.dtype, name="layers")
+        elif self.scan_layers:
             # one traced layer, lax.scan over a stacked-parameter axis:
             # compile time is O(1) in depth instead of O(num_layers)
             # (deep speech encoders recompile per bucket shape).  Param
@@ -115,7 +133,9 @@ class TransformerEncoder(nn.Module):
                 bias = bias + layer_utils.causal_self_attention_bias(
                     inputs.shape[1])
         x = inputs
-        if self.scan_layers:
+        if self.pipeline_stages > 1:
+            x = self.layers(x, bias, is_training)
+        elif self.scan_layers:
             x, _ = self.layers(x, bias, is_training, flash_lengths,
                                self.attention_monotonic, ring_axis,
                                ring_lengths)

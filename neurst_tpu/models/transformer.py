@@ -84,6 +84,18 @@ def _encdec_flags(prefix):
                            "encoders recompile per bucket shape). "
                            "Numerics are identical; per-layer "
                            "checkpoints load transparently."))
+    f.append(Flag(f"{prefix}.pipeline_stages",
+                  dtype=Flag.TYPE.INTEGER, default=None,
+                  help=f"Pipeline the {prefix} stack over this many "
+                       "mesh 'stage' groups (GPipe schedule; training "
+                       "path).  Requires num_layers divisible by it and "
+                       "a mesh with a matching 'stage' axis "
+                       "(--pipeline_parallel)."))
+    f.append(Flag(f"{prefix}.pipeline_microbatches",
+                  dtype=Flag.TYPE.INTEGER, default=None,
+                  help=f"Microbatches per {prefix} pipeline step "
+                       "(default = pipeline_stages; more microbatches "
+                       "= smaller bubble, smaller per-tick matmuls)."))
     if prefix == "decoder":
         f.append(Flag("decoder.scan_layers",
                       dtype=Flag.TYPE.BOOLEAN, default=None,

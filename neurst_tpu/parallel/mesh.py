@@ -46,26 +46,35 @@ LOGICAL_AXIS_RULES = (
     ("kv", None),
     ("conv_io", None),
     ("layers", None),   # scan-over-layers stacking axis (never sharded)
+    ("stage", "stage"),  # pipeline-parallel stage axis (layers/pipeline.py)
 )
 
 
 def make_mesh(data_parallel: Optional[int] = None,
               model_parallel: int = 1,
+              pipeline_parallel: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Creates a ("data", "model") mesh over the available devices."""
+    """Creates a ("data", "stage", "model") mesh over the available
+    devices.  "stage" has size 1 unless pipeline parallelism is on, so
+    dp/tp-only jobs see the same ("data", "model") semantics as before
+    (size-1 axes never shard anything)."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
+    mp = model_parallel * pipeline_parallel
     if data_parallel is None:
-        assert n % model_parallel == 0, \
-            f"{n} devices not divisible by model_parallel={model_parallel}"
-        data_parallel = n // model_parallel
-    assert data_parallel * model_parallel == n, (
-        f"dp({data_parallel}) x tp({model_parallel}) != devices({n})")
-    dev_array = np.asarray(devices).reshape(data_parallel, model_parallel)
-    logging.info("Mesh: data=%d x model=%d over %d devices",
-                 data_parallel, model_parallel, n)
-    return Mesh(dev_array, axis_names=("data", "model"))
+        assert n % mp == 0, (
+            f"{n} devices not divisible by "
+            f"pp({pipeline_parallel}) x tp({model_parallel})")
+        data_parallel = n // mp
+    assert data_parallel * mp == n, (
+        f"dp({data_parallel}) x pp({pipeline_parallel}) x "
+        f"tp({model_parallel}) != devices({n})")
+    dev_array = np.asarray(devices).reshape(
+        data_parallel, pipeline_parallel, model_parallel)
+    logging.info("Mesh: data=%d x stage=%d x model=%d over %d devices",
+                 data_parallel, pipeline_parallel, model_parallel, n)
+    return Mesh(dev_array, axis_names=("data", "stage", "model"))
 
 
 def logical_to_mesh_spec(logical_spec) -> PartitionSpec:

@@ -66,7 +66,27 @@ class SeqGenerationValidator(Validator):
             or "beam_search",
             "search_method.params": a.get("eval_search_method.params") or {}}
         self._search = build_search_layer(search_cfg)
-        self._search.set_model(model)
+        # pipeline-parallel layouts (layers/pipeline.py) serve the
+        # training step only: decode through a sequential twin, with the
+        # stacked [stages, layers_per_stage, ...] params reshaped per
+        # validation via the checkpoint layout bridge
+        margs = dict(getattr(model, "args", None) or {})
+        self._decode_template = None
+        decode_model = model
+        if any(int(margs.get(f"{s}.pipeline_stages") or 1) > 1
+               for s in ("encoder", "decoder")):
+            from neurst_tpu.utils.configurable import \
+                strip_training_only_model_flags
+            cfg = task.model_configs(model)
+            cfg["model.params"] = strip_training_only_model_flags(
+                cfg.get("model.params"))
+            decode_model = task.build_model(cfg)
+            self._decode_template = decode_model.init_params(
+                jax.random.PRNGKey(0))
+            logging.info("Validator decodes through a sequential twin of "
+                         "the pipelined model (params bridged per "
+                         "validation)")
+        self._search.set_model(decode_model)
         self._jit_search = jax.jit(
             lambda p, inp: self._search(p, inp))
         metric_args = {"metric.class": a.get("eval_metric.class"),
@@ -103,13 +123,24 @@ class SeqGenerationValidator(Validator):
             return False
         hypo_decode = self._task.get_data_postprocess_fn(
             DataStatus.PROJECTED)
+        decode_params = params
+        if self._decode_template is not None:
+            from neurst_tpu.utils.checkpoints import (flatten_params,
+                                                      restore_into)
+            flat = {k: np.asarray(v) for k, v in flatten_params(
+                jax.device_get(params)).items()}
+            decode_params, _, missing = restore_into(
+                self._decode_template, flat)
+            if missing:
+                raise ValueError(
+                    f"pipeline->sequential param bridge missed: {missing}")
         hypotheses = []
         it = self._task.create_batch_iterator(
             self._dataset, ModeKeys.INFER, self._batch_args)
         for batch in it():
             model_inp = {k: v for k, v in batch.items()
                          if isinstance(v, np.ndarray) and v.dtype != object}
-            hyp, _ = self._jit_search(params, model_inp)
+            hyp, _ = self._jit_search(decode_params, model_inp)
             hyp = np.asarray(hyp)
             mask = batch.get("sample_mask")
             bsz = mask.shape[0] if mask is not None else hyp.shape[0]

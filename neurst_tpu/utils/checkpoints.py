@@ -181,27 +181,61 @@ def restore_checkpoint_params(path: str) -> Dict[str, np.ndarray]:
 def _bridge_scan_layouts(flat: Dict[str, np.ndarray],
                          target_flat: Dict) -> Dict[str, np.ndarray]:
     """Converts between the per-layer checkpoint layout
-    (``<stack>/layer_<i>/REST``) and the scan-over-layers layout
-    (``<stack>/layers/layer/REST`` with a stacked leading axis), in
-    whichever direction the restore target requires.  Per-layer
-    checkpoints load into ``scan_layers`` models and vice versa."""
+    (``<stack>/layer_<i>/REST``), the scan-over-layers layout
+    (``<stack>/layers/layer/REST`` with a stacked leading axis), and
+    the pipeline-parallel layout
+    (``<stack>/layers/pipeline/stages/layers/layer/REST`` with leading
+    ``[num_stages, layers_per_stage]`` axes), in whichever direction
+    the restore target requires."""
     out = dict(flat)
+    pipe_suffix = "/pipeline/stages/layers/layer/"
+    pipe_re = re.compile(r"^(.*)/layers/pipeline/stages/layers/layer/(.*)$")
     scan_re = re.compile(r"^(.*)/layers/layer/(.*)$")
+
+    def _stacked_source(base, rest, n):
+        """[n, ...] from whichever source layout is present."""
+        stacked = out.get(f"{base}/layers/layer/{rest}")
+        if stacked is not None and np.asarray(stacked).shape[0] == n:
+            return np.asarray(stacked)
+        piped = out.get(f"{base}/layers{pipe_suffix}{rest}")
+        if piped is not None:
+            piped = np.asarray(piped)
+            if piped.shape[0] * piped.shape[1] == n:
+                return piped.reshape((n,) + piped.shape[2:])
+        parts = [out.get(f"{base}/layer_{i}/{rest}") for i in range(n)]
+        if all(p is not None for p in parts):
+            return np.stack([np.asarray(p) for p in parts], 0)
+        return None
+
     for name, current in target_flat.items():
         if name in out:
             continue
+        m = pipe_re.match(name)
+        if m:  # target is pipelined [S, P, ...]
+            base, rest = m.groups()
+            shape = np.asarray(current).shape
+            s, p = int(shape[0]), int(shape[1])
+            stacked = _stacked_source(base, rest, s * p)
+            if stacked is not None:
+                out[name] = stacked.reshape((s, p) + stacked.shape[1:])
+            continue
         m = scan_re.match(name)
-        if m:  # target is stacked; source may be per-layer
+        if m and pipe_suffix not in name:  # target is scan-stacked
             base, rest = m.groups()
             n = int(np.asarray(current).shape[0])
-            parts = [out.get(f"{base}/layer_{i}/{rest}") for i in range(n)]
-            if all(p is not None for p in parts):
-                out[name] = np.stack([np.asarray(p) for p in parts], 0)
+            stacked = _stacked_source(base, rest, n)
+            if stacked is not None:
+                out[name] = stacked
             continue
         m = re.match(r"^(.*)/layer_(\d+)/(.*)$", name)
-        if m:  # target is per-layer; source may be stacked
+        if m:  # target is per-layer; source may be stacked/pipelined
             base, idx, rest = m.groups()
             stacked = out.get(f"{base}/layers/layer/{rest}")
+            if stacked is None:
+                piped = out.get(f"{base}/layers{pipe_suffix}{rest}")
+                if piped is not None:
+                    piped = np.asarray(piped)
+                    stacked = piped.reshape((-1,) + piped.shape[2:])
             if stacked is not None \
                     and int(idx) < np.asarray(stacked).shape[0]:
                 out[name] = np.asarray(stacked)[int(idx)]

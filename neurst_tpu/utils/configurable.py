@@ -51,6 +51,25 @@ def flatten_string_list(paths: Union[str, List[str], None]) -> List[str]:
     return out
 
 
+def strip_training_only_model_flags(model_params: Optional[dict]) -> dict:
+    """Drops model flags that only make sense inside the training step.
+
+    Pipeline parallelism (``*.pipeline_stages`` /
+    ``*.pipeline_microbatches``, layers/pipeline.py) reshapes the layer
+    stacks for the GPipe schedule and requires a mesh "stage" axis;
+    decode/eval/export entries rebuild the model WITHOUT them and the
+    checkpoint bridge (checkpoints._bridge_scan_layouts) reshapes the
+    stacked ``[stages, layers_per_stage, ...]`` params transparently.
+    Numerics are identical either way.
+    """
+    out = dict(model_params or {})
+    for key in list(out):
+        if key.endswith(".pipeline_stages") \
+                or key.endswith(".pipeline_microbatches"):
+            out.pop(key)
+    return out
+
+
 def deep_merge_dict(base: dict, update: Optional[dict],
                     local_overwrite: bool = True) -> dict:
     """Recursively merges ``update`` into ``base``; update wins on conflicts.
