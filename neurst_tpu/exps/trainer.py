@@ -273,7 +273,8 @@ class Trainer(BaseExperiment):
         pp = int(args.get("pipeline_parallel") or 1)
         mesh = make_mesh(model_parallel=tp, pipeline_parallel=pp)
         num_replicas = mesh.shape["data"]
-        p_shardings = params_shardings(mesh, model.params_spec())
+        p_shardings = params_shardings(mesh, model.params_spec(),
+                                       params=params)
         params = jax.tree_util.tree_map(
             lambda p, s: jax.device_put(p, s), params, p_shardings)
         if args.get("bf16_params"):

@@ -64,10 +64,17 @@ class TransformerDecoder(nn.Module):
     scan_layers: bool = False
     pipeline_stages: int = 1
     pipeline_microbatches: int = 0
+    # mixture-of-experts FFN (layers/moe.py): every
+    # `moe_layer_frequency`-th layer swaps its dense FFN for E experts
+    moe_num_experts: int = 0
+    moe_layer_frequency: int = 2
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_aux_loss_coef: float = 0.01
     dtype: Any = jnp.float32
 
-    def _layer_kwargs(self):
-        return dict(
+    def _layer_kwargs(self, moe: bool = False):
+        kwargs = dict(
             hidden_size=self.hidden_size,
             num_attention_heads=self.num_attention_heads,
             filter_size=self.filter_size,
@@ -79,8 +86,24 @@ class TransformerDecoder(nn.Module):
             layer_postprocess_epsilon=self.layer_postprocess_epsilon,
             with_cross_attention=self.with_cross_attention,
             dtype=self.dtype)
+        if moe:
+            kwargs.update(
+                moe_num_experts=self.moe_num_experts,
+                moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
+                moe_aux_loss_coef=self.moe_aux_loss_coef)
+        return kwargs
+
+    def _moe_layer(self, i: int) -> bool:
+        return (int(self.moe_num_experts) > 1
+                and (i + 1) % max(1, int(self.moe_layer_frequency)) == 0)
 
     def setup(self):
+        if int(self.moe_num_experts) > 1 \
+                and (self.scan_layers or self.pipeline_stages > 1):
+            raise ValueError(
+                "moe_num_experts>1 requires the per-layer stack "
+                "(scan_layers=False, pipeline_stages=1)")
         if self.pipeline_stages > 1:
             # training/teacher-forcing pipelining (layers/pipeline.py).
             # Stepwise decode uses the scan/per-layer layout instead:
@@ -115,7 +138,8 @@ class TransformerDecoder(nn.Module):
         else:
             self.layers = [
                 TransformerDecoderLayer(
-                    **self._layer_kwargs(), name=f"layer_{i}")
+                    **self._layer_kwargs(moe=self._moe_layer(i)),
+                    name=f"layer_{i}")
                 for i in range(self.num_layers)]
         if not self.post_normalize:
             self.output_ln = LayerNorm(

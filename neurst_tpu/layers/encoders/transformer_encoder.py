@@ -49,10 +49,17 @@ class TransformerEncoder(nn.Module):
     scan_layers: bool = False
     pipeline_stages: int = 1
     pipeline_microbatches: int = 0
+    # mixture-of-experts FFN (layers/moe.py): every
+    # `moe_layer_frequency`-th layer swaps its dense FFN for E experts
+    moe_num_experts: int = 0
+    moe_layer_frequency: int = 2
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_aux_loss_coef: float = 0.01
     dtype: Any = jnp.float32
 
-    def _layer_kwargs(self):
-        return dict(
+    def _layer_kwargs(self, moe: bool = False):
+        kwargs = dict(
             hidden_size=self.hidden_size,
             num_attention_heads=self.num_attention_heads,
             filter_size=self.filter_size,
@@ -63,8 +70,30 @@ class TransformerEncoder(nn.Module):
             post_normalize=self.post_normalize,
             layer_postprocess_epsilon=self.layer_postprocess_epsilon,
             dtype=self.dtype)
+        if moe:
+            kwargs.update(
+                moe_num_experts=self.moe_num_experts,
+                moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
+                moe_aux_loss_coef=self.moe_aux_loss_coef)
+        return kwargs
+
+    def _moe_layer(self, i: int) -> bool:
+        """Layer i carries an MoE FFN (Switch-style: every
+        `moe_layer_frequency`-th layer, counting from the frequency-1
+        index so a frequency of 2 gives layers 1, 3, 5, ...)."""
+        return (int(self.moe_num_experts) > 1
+                and (i + 1) % max(1, int(self.moe_layer_frequency)) == 0)
 
     def setup(self):
+        if int(self.moe_num_experts) > 1 \
+                and (self.scan_layers or self.pipeline_stages > 1):
+            # scanned/pipelined stacks require homogeneous layers AND
+            # the sown aux-loss collection threaded through nn.scan —
+            # use the per-layer layout for MoE models
+            raise ValueError(
+                "moe_num_experts>1 requires the per-layer stack "
+                "(scan_layers=False, pipeline_stages=1)")
         if self.pipeline_stages > 1:
             # layer pipelining over the mesh "stage" axis (GPipe
             # schedule, layers/pipeline.py); dense-bias attention only
@@ -100,7 +129,8 @@ class TransformerEncoder(nn.Module):
         else:
             self.layers = [
                 TransformerEncoderLayer(
-                    **self._layer_kwargs(), name=f"layer_{i}")
+                    **self._layer_kwargs(moe=self._moe_layer(i)),
+                    name=f"layer_{i}")
                 for i in range(self.num_layers)]
         if not self.post_normalize:
             self.output_ln = LayerNorm(

@@ -44,7 +44,31 @@ class _LayerCommon(nn.Module):
     layer_postprocess_dropout_rate: float = 0.0
     post_normalize: bool = False
     layer_postprocess_epsilon: float = 1e-6
+    # mixture-of-experts FFN (layers/moe.py); 0/1 = dense FFN
+    moe_num_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_aux_loss_coef: float = 0.01
     dtype: Dtype = jnp.float32
+
+    def _make_ffn(self):
+        if int(self.moe_num_experts) > 1:
+            from neurst_tpu.layers.moe import MoeFFN
+            return MoeFFN(
+                num_experts=int(self.moe_num_experts),
+                filter_size=self.filter_size,
+                output_size=self.hidden_size,
+                top_k=int(self.moe_top_k),
+                capacity_factor=float(self.moe_capacity_factor),
+                aux_loss_coef=float(self.moe_aux_loss_coef),
+                activation=self.ffn_activation,
+                dropout_rate=self.ffn_dropout_rate,
+                dtype=self.dtype, name="ffn")
+        return TransformerFFN(
+            filter_size=self.filter_size, output_size=self.hidden_size,
+            activation=self.ffn_activation,
+            dropout_rate=self.ffn_dropout_rate,
+            dtype=self.dtype, name="ffn")
 
     def _prepost(self, ln, x, sublayer, is_training):
         """LN -> sublayer -> dropout -> residual (pre-norm) or
@@ -72,11 +96,7 @@ class TransformerEncoderLayer(_LayerCommon):
             attention_dropout_rate=self.attention_dropout_rate,
             dtype=self.dtype, name="self_attention")
         self.self_attention_ln = self._make_ln("self_attention_ln")
-        self.ffn = TransformerFFN(
-            filter_size=self.filter_size, output_size=self.hidden_size,
-            activation=self.ffn_activation,
-            dropout_rate=self.ffn_dropout_rate,
-            dtype=self.dtype, name="ffn")
+        self.ffn = self._make_ffn()
         self.ffn_ln = self._make_ln("ffn_ln")
 
     def __call__(self, x, attention_bias, is_training=False,
@@ -114,11 +134,7 @@ class TransformerDecoderLayer(_LayerCommon):
                 attention_dropout_rate=self.attention_dropout_rate,
                 dtype=self.dtype, name="cross_attention")
             self.cross_attention_ln = self._make_ln("cross_attention_ln")
-        self.ffn = TransformerFFN(
-            filter_size=self.filter_size, output_size=self.hidden_size,
-            activation=self.ffn_activation,
-            dropout_rate=self.ffn_dropout_rate,
-            dtype=self.dtype, name="ffn")
+        self.ffn = self._make_ffn()
         self.ffn_ln = self._make_ln("ffn_ln")
 
     def memorize_memory(self, memory):

@@ -287,6 +287,17 @@ class EncoderDecoderModel(BaseModel):
             {"params": params}, inputs=inputs, is_training=is_training,
             rngs=rngs or {})
 
+    def call_train(self, params, inputs, rngs=None):
+        """Training forward -> (logits, aux_loss): collects losses sown
+        by conditional-computation layers (MoE load balancing)."""
+        logits, variables = self._module.apply(
+            {"params": params}, inputs=inputs, is_training=True,
+            rngs=rngs or {}, mutable=["losses"])
+        aux = jnp.zeros([], jnp.float32)
+        for leaf in jax.tree_util.tree_leaves(variables.get("losses", {})):
+            aux = aux + jnp.sum(leaf).astype(jnp.float32)
+        return logits, aux
+
     # ----------------------- generation ------------------------- #
 
     def prepare_generation(self, params, inputs,

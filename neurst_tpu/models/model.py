@@ -106,6 +106,16 @@ class BaseModel(object):
         """Forward pass -> logits."""
         raise NotImplementedError
 
+    def call_train(self, params, inputs: dict,
+                   rngs: Optional[dict] = None):
+        """Training forward -> (logits, auxiliary_loss).
+
+        The auxiliary loss is a scalar added to the criterion loss by
+        the train step (zero unless the model sows into the "losses"
+        collection, e.g. the MoE load-balancing loss)."""
+        return (self.call(params, inputs, is_training=True, rngs=rngs),
+                jnp.zeros([], jnp.float32))
+
     def __call__(self, params, inputs, is_training=False, rngs=None):
         return self.call(params, inputs, is_training=is_training, rngs=rngs)
 

@@ -96,6 +96,30 @@ def _encdec_flags(prefix):
                   help=f"Microbatches per {prefix} pipeline step "
                        "(default = pipeline_stages; more microbatches "
                        "= smaller bubble, smaller per-tick matmuls)."))
+    f.append(Flag(f"{prefix}.moe_num_experts",
+                  dtype=Flag.TYPE.INTEGER, default=None,
+                  help=f"Mixture-of-experts {prefix} FFN: the number of "
+                       "experts (0/1 = dense FFN).  Expert weights shard "
+                       "over the mesh 'data' devices (expert "
+                       "parallelism); the Switch load-balancing loss is "
+                       "added to the training objective."))
+    f.append(Flag(f"{prefix}.moe_layer_frequency",
+                  dtype=Flag.TYPE.INTEGER, default=None,
+                  help=f"Every this-many-th {prefix} layer uses the MoE "
+                       "FFN (Switch-style default 2: layers 1,3,5,...)."))
+    f.append(Flag(f"{prefix}.moe_top_k",
+                  dtype=Flag.TYPE.INTEGER, default=None,
+                  help="Experts per token: 1 = Switch router, 2 = "
+                       "GShard top-2 (renormalized gates)."))
+    f.append(Flag(f"{prefix}.moe_capacity_factor",
+                  dtype=Flag.TYPE.FLOAT, default=None,
+                  help="Per-expert token capacity = ceil(T * top_k * "
+                       "this / num_experts); overflow tokens fall "
+                       "through the residual (default 1.25)."))
+    f.append(Flag(f"{prefix}.moe_aux_loss_coef",
+                  dtype=Flag.TYPE.FLOAT, default=None,
+                  help="Coefficient of the Switch load-balancing "
+                       "auxiliary loss (default 0.01)."))
     if prefix == "decoder":
         f.append(Flag("decoder.scan_layers",
                       dtype=Flag.TYPE.BOOLEAN, default=None,

@@ -47,6 +47,12 @@ LOGICAL_AXIS_RULES = (
     ("conv_io", None),
     ("layers", None),   # scan-over-layers stacking axis (never sharded)
     ("stage", "stage"),  # pipeline-parallel stage axis (layers/pipeline.py)
+    # expert parallelism (layers/moe.py): expert weights shard over the
+    # same devices that hold the batch shards; XLA inserts the
+    # dispatch/combine all-to-alls between batch- and expert-sharded
+    # layouts
+    ("expert", "data"),
+    ("expert_logits", None),  # router output axis (tiny; replicated)
 )
 
 
@@ -96,16 +102,48 @@ def logical_to_mesh_sharding(logical_spec, mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, logical_to_mesh_spec(logical_spec))
 
 
-def params_shardings(mesh: Mesh, params_spec):
+def params_shardings(mesh: Mesh, params_spec, params=None):
     """Converts a pytree of logical PartitionSpecs (from
-    ``nn.get_partition_spec``) into NamedShardings on `mesh`."""
+    ``nn.get_partition_spec``) into NamedShardings on `mesh`.
+
+    When ``params`` (arrays or shape structs, same tree) is given, any
+    partitioned dimension whose size is not divisible by its mesh axis
+    falls back to replicated with a warning instead of failing at
+    device_put (e.g. 2 MoE experts on an 8-way "data" axis, or an odd
+    vocabulary under tensor parallelism)."""
     def _convert(spec):
         if isinstance(spec, PartitionSpec):
             return logical_to_mesh_sharding(spec, mesh)
         return NamedSharding(mesh, PartitionSpec())
-    return jax.tree_util.tree_map(
-        _convert, params_spec,
-        is_leaf=lambda x: isinstance(x, PartitionSpec))
+
+    is_spec = lambda x: isinstance(x, PartitionSpec)  # noqa: E731
+    shardings = jax.tree_util.tree_map(_convert, params_spec,
+                                       is_leaf=is_spec)
+    if params is None:
+        return shardings
+
+    def _fit(sharding, p):
+        spec = sharding.spec
+        if not any(spec):
+            return sharding
+        shape = getattr(p, "shape", None)
+        if shape is None or len(shape) < len(spec):
+            return sharding
+        fitted, changed = [], False
+        for dim, ax in zip(shape, spec):
+            if ax is not None and dim % mesh.shape[ax] != 0:
+                fitted.append(None)
+                changed = True
+            else:
+                fitted.append(ax)
+        if not changed:
+            return sharding
+        logging.warning(
+            "Replicating axis of param with shape %s: %s does not divide "
+            "its mesh axes, using %s", shape, spec, PartitionSpec(*fitted))
+        return NamedSharding(mesh, PartitionSpec(*fitted))
+
+    return jax.tree_util.tree_map(_fit, shardings, params)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -62,14 +62,18 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
     """
 
     def _forward(params, batch, rng):
-        logits = model.call(params, batch, is_training=True,
-                            rngs={"dropout": rng})
-        return criterion.reduce_loss(batch, logits)
+        # call_train also surfaces model-internal auxiliary losses
+        # (e.g. the MoE load-balancing term), which add to the
+        # token-normalized criterion loss
+        logits, aux = model.call_train(params, batch,
+                                       rngs={"dropout": rng})
+        return criterion.reduce_loss(batch, logits) + aux
 
     def _forward_terms(params, batch, rng):
-        logits = model.call(params, batch, is_training=True,
-                            rngs={"dropout": rng})
-        return criterion.reduce_loss_terms(batch, logits)
+        logits, aux = model.call_train(params, batch,
+                                       rngs={"dropout": rng})
+        loss_sum, denom = criterion.reduce_loss_terms(batch, logits)
+        return loss_sum, denom, aux
 
     if remat:
         # recompute activations in backward: HBM for FLOPs (SURVEY §0)
@@ -87,7 +91,13 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
     def terms_fn(params, batch, rng):
         if params_transform is not None:
             params = params_transform(params)
-        loss_sum, denom = _forward_terms(params, batch, rng)
+        loss_sum, denom, aux = _forward_terms(params, batch, rng)
+        # fold the model-internal auxiliary loss (e.g. MoE load
+        # balancing) in scaled by this micro-batch's token count: the
+        # single final 1/sum(denom) normalization then yields the
+        # token-weighted mean of the aux term across micro-batches
+        # (identical to the big-batch value when token counts match)
+        loss_sum = loss_sum + aux * jax.lax.stop_gradient(denom)
         return loss_sum, denom
 
     def extra_fn(params):
