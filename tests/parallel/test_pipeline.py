@@ -218,6 +218,76 @@ def test_cli_pipeline_train_then_predict(tmp_path):
     assert open(out).read() is not None
 
 
+def test_pipeline_composes_with_grad_accumulation():
+    """update_cycle=2 micro-batches, each GPipe-microbatched inside the
+    pipelined model: the accumulated step must match the single
+    big-batch step on the same dp4 x pp2 mesh."""
+    from neurst_tpu.criterions.label_smoothed_cross_entropy import \
+        LabelSmoothedCrossEntropy
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.optimizers.optimizers import Adam, create_optax_chain
+    from neurst_tpu.optimizers.schedules.lr_schedules import NoamSchedule
+    from neurst_tpu.parallel import (TrainState, make_mesh, make_train_step,
+                                     params_shardings)
+    from neurst_tpu.parallel.utils import put_batch
+
+    meta = {"vocab_size": 64, "eos_id": 1, "bos_id": 2, "unk_id": 3}
+    p = {
+        "modality.share_source_target_embedding": True,
+        "modality.share_embedding_and_softmax_weights": True,
+        "modality.dim": 16, "modality.timing": "sinusoids",
+    }
+    for side in ("encoder", "decoder"):
+        p.update({f"{side}.num_layers": 2, f"{side}.hidden_size": 16,
+                  f"{side}.num_attention_heads": 2,
+                  f"{side}.filter_size": 32,
+                  f"{side}.pipeline_stages": 2,
+                  f"{side}.pipeline_microbatches": 2})
+    model = build_model({"model.class": "transformer", "model.params": p},
+                        src_meta=meta, trg_meta=meta)
+    criterion = LabelSmoothedCrossEntropy({"label_smoothing": 0.1})
+    lr = NoamSchedule({"dmodel": 16, "warmup_steps": 100,
+                       "initial_factor": 1.0})
+
+    rng = np.random.RandomState(7)
+    b, L = 8, 10
+    big = {
+        "src": rng.randint(4, 64, size=[b, L]).astype(np.int32),
+        "src_padding": np.zeros([b, L], np.float32),
+        "trg_input": rng.randint(4, 64, size=[b, L]).astype(np.int32),
+        "trg": rng.randint(4, 64, size=[b, L]).astype(np.int32),
+        "trg_padding": np.zeros([b, L], np.float32),
+        "trg_length": np.full([b], L, np.int32),
+        "sample_mask": np.ones([b], np.float32),
+    }
+    stacked = {k: np.stack([v[: b // 2], v[b // 2:]], 0)
+               for k, v in big.items()}
+
+    mesh = make_mesh(model_parallel=1, pipeline_parallel=2)
+    # host copies: the donated step below deletes device buffers
+    params = jax.tree_util.tree_map(
+        np.asarray, model.init_params(jax.random.PRNGKey(0)))
+    p_shard = params_shardings(mesh, model.params_spec())
+    losses = {}
+    for key, (cycle, batch) in (("big", (1, big)),
+                                ("accum", (2, stacked))):
+        placed = jax.tree_util.tree_map(jax.device_put, params, p_shard)
+        tx = create_optax_chain(
+            Adam({"epsilon": 1e-9, "beta_1": 0.9, "beta_2": 0.98}), lr)
+        state = TrainState.create(placed, tx)
+        step = jax.jit(make_train_step(model, criterion, tx,
+                                       update_cycle=cycle),
+                       donate_argnums=(0,))
+        with mesh:
+            placed_batch = put_batch(mesh, batch,
+                                     batch_axis=1 if cycle > 1 else 0)
+            state, metrics = step(state, placed_batch,
+                                  jax.random.PRNGKey(11))
+            losses[key] = float(metrics["loss"])
+    # dropout-free config; only reduction order differs
+    np.testing.assert_allclose(losses["accum"], losses["big"], rtol=2e-5)
+
+
 def test_pipeline_stage_params_actually_sharded():
     """The stacked [S, P, ...] layer params carry the "stage" logical
     axis and land sharded over the mesh's stage axis."""
