@@ -225,6 +225,54 @@ def test_moe_stepwise_decode_matches_teacher_forcing():
     np.testing.assert_allclose(inc, tf_logits, rtol=2e-4, atol=2e-4)
 
 
+def test_moe_composes_with_speech_transformer_and_bf16_params():
+    """MoE FFNs inside the SpeechTransformer audio front-end, trained
+    under --bf16_params (bf16 stored params + f32 master)."""
+    from neurst_tpu.criterions.label_smoothed_cross_entropy import \
+        LabelSmoothedCrossEntropy
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.models.speech_transformer import SpeechTransformer
+    from neurst_tpu.optimizers.master_weights import (cast_params_bf16,
+                                                      with_bf16_params)
+    from neurst_tpu.optimizers.optimizers import Adam, create_optax_chain
+    from neurst_tpu.optimizers.schedules.lr_schedules import NoamSchedule
+    from neurst_tpu.parallel import TrainState, make_train_step
+
+    cfg = SpeechTransformer.build_model_args_by_name(
+        "speech_transformer_toy")
+    params_cfg = dict(cfg["model.params"])
+    for side in ("encoder", "decoder"):
+        params_cfg[f"{side}.moe_num_experts"] = 2
+        params_cfg[f"{side}.moe_layer_frequency"] = 1
+    model = build_model(
+        cfg | {"model.params": params_cfg},
+        src_meta={"audio_feature_dim": 80, "audio_feature_channels": 1},
+        trg_meta={"vocab_size": 64, "eos_id": 1, "bos_id": 2, "unk_id": 3})
+
+    lr = NoamSchedule({"dmodel": 16, "warmup_steps": 100,
+                       "initial_factor": 1.0})
+    tx = with_bf16_params(create_optax_chain(
+        Adam({"epsilon": 1e-9, "beta_1": 0.9, "beta_2": 0.98}), lr))
+    params = cast_params_bf16(model.init_params(jax.random.PRNGKey(0)))
+    state = TrainState.create(params, tx)
+    criterion = LabelSmoothedCrossEntropy({"label_smoothing": 0.1})
+    step = jax.jit(make_train_step(model, criterion, tx))
+
+    rng = np.random.RandomState(9)
+    b = 4
+    batch = {
+        "src": rng.randn(b, 32, 80, 1).astype(np.float32),
+        "src_length": np.full([b], 32, np.int32),
+        "trg_input": np.ones([b, 8], np.int32),
+        "trg": np.ones([b, 8], np.int32),
+        "trg_length": np.full([b], 8, np.int32),
+        "trg_padding": np.zeros([b, 8], np.float32),
+        "sample_mask": np.ones([b], np.float32),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_moe_rejects_scan_and_pipeline_layouts():
     from neurst_tpu.models.model import build_model
 
