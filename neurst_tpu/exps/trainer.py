@@ -467,16 +467,18 @@ class Trainer(BaseExperiment):
                             log_every / elapsed, elapsed / log_every,
                             window_tokens / elapsed,
                             window_samples / elapsed)
-                        writer.scalars(
-                            "training",
-                            {"loss": last_loss,
-                             "lr": float(metrics.get("lr", 0.0)),
-                             "grad_norm":
-                                 float(metrics.get("grad_norm", 0.0)),
-                             "steps_per_sec": log_every / elapsed,
-                             "tokens_per_sec": window_tokens / elapsed,
-                             "samples_per_sec": window_samples / elapsed},
-                            step)
+                        scalars = {
+                            "loss": last_loss,
+                            "lr": float(metrics.get("lr", 0.0)),
+                            "grad_norm":
+                                float(metrics.get("grad_norm", 0.0)),
+                            "steps_per_sec": log_every / elapsed,
+                            "tokens_per_sec": window_tokens / elapsed,
+                            "samples_per_sec": window_samples / elapsed}
+                        aux = float(metrics.get("aux_loss", 0.0))
+                        if aux:  # model-internal term (MoE balance)
+                            scalars["aux_loss"] = aux
+                        writer.scalars("training", scalars, step)
                         window_start = time.perf_counter()
                         window_tokens = 0
                         window_samples = 0

@@ -67,7 +67,7 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
         # token-normalized criterion loss
         logits, aux = model.call_train(params, batch,
                                        rngs={"dropout": rng})
-        return criterion.reduce_loss(batch, logits) + aux
+        return criterion.reduce_loss(batch, logits) + aux, aux
 
     def _forward_terms(params, batch, rng):
         logits, aux = model.call_train(params, batch,
@@ -83,10 +83,10 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
     def loss_fn(params, batch, rng):
         if params_transform is not None:
             params = params_transform(params)
-        loss = _forward(params, batch, rng)
+        loss, aux = _forward(params, batch, rng)
         if extra_loss_fn is not None:
             loss = loss + extra_loss_fn(params)
-        return loss
+        return loss, aux
 
     def terms_fn(params, batch, rng):
         if params_transform is not None:
@@ -97,8 +97,8 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
         # single final 1/sum(denom) normalization then yields the
         # token-weighted mean of the aux term across micro-batches
         # (identical to the big-batch value when token counts match)
-        loss_sum = loss_sum + aux * jax.lax.stop_gradient(denom)
-        return loss_sum, denom
+        aux_sum = aux * jax.lax.stop_gradient(denom)
+        return loss_sum + aux_sum, (denom, aux_sum)
 
     def extra_fn(params):
         if params_transform is not None:
@@ -107,8 +107,9 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
 
     def compute_grads(params, batch, rng):
         if update_cycle == 1:
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
-            return loss, grads
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch, rng)
+            return loss, aux, grads
 
         # Accumulate (loss_sum, denom) and the gradients of the *raw*
         # loss sums, then normalize once: ragged micro-batches (unequal
@@ -116,13 +117,14 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
         # exactly, unlike per-micro-batch normalization, which weights
         # micro-batches equally regardless of tokens.
         def micro_step(carry, micro_batch_and_rng):
-            acc_loss, acc_denom, acc_grads = carry
+            acc_loss, acc_denom, acc_aux, acc_grads = carry
             micro_batch, micro_rng = micro_batch_and_rng
-            (loss_sum, denom), grads = jax.value_and_grad(
+            (loss_sum, (denom, aux_sum)), grads = jax.value_and_grad(
                 terms_fn, has_aux=True)(params, micro_batch, micro_rng)
             acc_grads = jax.tree_util.tree_map(
                 lambda a, g: a + g.astype(a.dtype), acc_grads, grads)
-            return (acc_loss + loss_sum, acc_denom + denom, acc_grads), None
+            return (acc_loss + loss_sum, acc_denom + denom,
+                    acc_aux + aux_sum, acc_grads), None
 
         # accumulate in f32 even when params (hence grads) are bf16
         # (--bf16_params): summing update_cycle bf16 terms in bf16 would
@@ -133,8 +135,9 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
             if jnp.issubdtype(p.dtype, jnp.inexact) else jnp.zeros_like(p),
             params)
         rngs = jax.random.split(rng, update_cycle)
-        (loss_sum, denom, grads), _ = jax.lax.scan(
+        (loss_sum, denom, aux_sum, grads), _ = jax.lax.scan(
             micro_step, (jnp.zeros([], jnp.float32),
+                         jnp.zeros([], jnp.float32),
                          jnp.zeros([], jnp.float32), zero_grads),
             (batch, rngs))
         inv = 1.0 / jnp.maximum(denom, 1e-8)
@@ -146,16 +149,17 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
             loss = loss + extra_val
             grads = jax.tree_util.tree_map(
                 lambda a, g: a + g, grads, extra_grads)
-        return loss, grads
+        return loss, aux_sum * inv, grads
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
-        loss, grads = compute_grads(state.params, batch, rng)
+        loss, aux, grads = compute_grads(state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state)
         metrics = {"loss": loss,
+                   "aux_loss": aux,
                    "grad_norm": optax.global_norm(grads)}
         if lr_schedule is not None:
             metrics["lr"] = lr_schedule(state.step)

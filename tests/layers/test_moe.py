@@ -146,6 +146,7 @@ def test_aux_loss_surfaces_through_call_train_and_train_step():
     step = jax.jit(make_train_step(model, criterion, tx))
     state, metrics = step(state, batch, jax.random.PRNGKey(7))
     assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["aux_loss"]) > 0.0  # surfaced for telemetry
 
     # router gets gradients (load-balancing backward works)
     def router_moved(old, new):
@@ -271,6 +272,50 @@ def test_moe_composes_with_speech_transformer_and_bf16_params():
     }
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_cli_moe_train_then_predict(tmp_path):
+    """End-to-end through the real CLI: train with MoE flags on the
+    8-device mesh (2 experts on an 8-way data axis exercises the
+    graceful replicate-fallback sharding), then predict from the saved
+    model_dir (the persisted config rebuilds the MoE structure; the
+    router runs per decode step)."""
+    import os
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from neurst_tpu.cli.run_exp import cli_main
+
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    os.chdir(repo)
+    model_dir = str(tmp_path / "model")
+    cli_main(["--entry", "train",
+              "--config_paths", "tests/examples/example_train_seq2seq.yml",
+              "--model_dir", model_dir,
+              "--encoder.moe_num_experts", "2",
+              "--decoder.moe_num_experts", "2",
+              "--train_steps", "10", "--save_checkpoint_steps", "10",
+              "--summary_steps", "5"])
+    assert os.path.exists(os.path.join(model_dir, "ckpt-10.npz"))
+    import yaml as _yaml
+    with open(os.path.join(model_dir, "model_configs.yml")) as f:
+        saved = _yaml.safe_load(f)
+    assert saved["model.params"].get("encoder.moe_num_experts") == 2
+
+    out = str(tmp_path / "hypo.txt")
+    result = cli_main(
+        ["--entry", "predict", "--model_dir", model_dir,
+         "--dataset.class", "parallel_text",
+         "--dataset.params",
+         "{src_file: tests/examples/dev.src, "
+         "trg_file: tests/examples/dev.trg}",
+         "--search_method.class", "beam_search",
+         "--search_method.params",
+         "{beam_size: 2, maximum_decode_length: 16}",
+         "--metric", "bleu", "--output_file", out])
+    assert os.path.exists(out)
+    assert all(np.isfinite(s) for s in result["scores"])
 
 
 def test_moe_rejects_scan_and_pipeline_layouts():
