@@ -49,6 +49,59 @@ def test_flash_unpadded_lengths_and_ragged_blocks():
     assert float(jnp.max(jnp.abs(ours - ref))) < 1e-4
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_bf16_block_boundaries(causal):
+    """bf16 inputs with t_k NOT a multiple of block_k, asymmetric
+    block sizes, and per-row lengths straddling every block boundary
+    (first block, mid-block, exact multiple, full length) — the cases
+    named as untested in the round-2 review."""
+    rng = np.random.RandomState(3)
+    b, t_q, t_k, n, h = 4, 48, 104, 2, 32  # 104 = 3*32 + 8 ragged tail
+    q32 = rng.randn(b, t_q, n, h).astype(np.float32)
+    k32 = rng.randn(b, t_k, n, h).astype(np.float32)
+    v32 = rng.randn(b, t_k, n, h).astype(np.float32)
+    q = jnp.asarray(q32, jnp.bfloat16)
+    k = jnp.asarray(k32, jnp.bfloat16)
+    v = jnp.asarray(v32, jnp.bfloat16)
+    lengths = jnp.asarray([5, 33, 64, 104], jnp.int32)
+    ours = flash_attention(q, k, v, lengths, causal=causal,
+                           block_q=16, block_k=32).astype(jnp.float32)
+    ref = _reference(jnp.asarray(q, jnp.float32),
+                     jnp.asarray(k, jnp.float32),
+                     jnp.asarray(v, jnp.float32), lengths, causal)
+    # bf16 inputs: ~3 decimal digits; the kernel accumulates in f32
+    assert float(jnp.max(jnp.abs(ours - ref))) < 3e-2
+
+
+def test_flash_bf16_grads_match_reference():
+    """bf16 backward across a ragged block tail: dq/dk/dv from the
+    custom VJP match the dense reference within bf16 tolerance."""
+    rng = np.random.RandomState(4)
+    b, t_q, t_k, n, h = 2, 40, 72, 2, 16  # 72 = 2*32 + 8 ragged tail
+    q = jnp.asarray(rng.randn(b, t_q, n, h), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(b, t_k, n, h), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(b, t_k, n, h), jnp.bfloat16)
+    lengths = jnp.asarray([72, 41], jnp.int32)
+    w = jnp.asarray(rng.randn(b, t_q, n, h), jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, lengths, block_q=16, block_k=32)
+        return jnp.sum(out.astype(jnp.float32) * w)
+
+    def loss_ref(q, k, v):
+        out = _reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                         v.astype(jnp.float32), lengths, False)
+        return jnp.sum(out * w)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        diff = float(jnp.max(jnp.abs(gf.astype(jnp.float32)
+                                     - gr.astype(jnp.float32))))
+        scale = float(jnp.max(jnp.abs(gr)).astype(jnp.float32)) + 1e-6
+        assert diff / scale < 5e-2, (name, diff, scale)
+
+
 def test_encoder_flash_equals_standard():
     from neurst_tpu.models.model import build_model
     from neurst_tpu.models.transformer import Transformer
