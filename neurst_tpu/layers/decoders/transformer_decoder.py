@@ -71,6 +71,7 @@ class TransformerDecoder(nn.Module):
     moe_top_k: int = 1
     moe_capacity_factor: float = 1.25
     moe_aux_loss_coef: float = 0.01
+    moe_router_jitter: float = 0.01
     dtype: Any = jnp.float32
 
     def _layer_kwargs(self, moe: bool = False):
@@ -91,19 +92,55 @@ class TransformerDecoder(nn.Module):
                 moe_num_experts=self.moe_num_experts,
                 moe_top_k=self.moe_top_k,
                 moe_capacity_factor=self.moe_capacity_factor,
-                moe_aux_loss_coef=self.moe_aux_loss_coef)
+                moe_aux_loss_coef=self.moe_aux_loss_coef,
+                moe_router_jitter=self.moe_router_jitter)
         return kwargs
 
     def _moe_layer(self, i: int) -> bool:
         return (int(self.moe_num_experts) > 1
                 and (i + 1) % max(1, int(self.moe_layer_frequency)) == 0)
 
+    def _moe_scan(self) -> bool:
+        """True when the stack compiles as a scan over MoE blocks."""
+        return int(self.moe_num_experts) > 1 and self.scan_layers
+
+    def _block_size(self) -> int:
+        return max(1, int(self.moe_layer_frequency))
+
     def setup(self):
-        if int(self.moe_num_experts) > 1 \
-                and (self.scan_layers or self.pipeline_stages > 1):
+        if int(self.moe_num_experts) > 1 and self.pipeline_stages > 1:
             raise ValueError(
-                "moe_num_experts>1 requires the per-layer stack "
-                "(scan_layers=False, pipeline_stages=1)")
+                "moe_num_experts>1 requires scan_layers or the "
+                "per-layer stack (pipeline_stages=1)")
+        if self._moe_scan():
+            # scan over BLOCKS of `moe_layer_frequency` layers (dense
+            # x(f-1), MoE last — the per-layer pattern exactly); the
+            # sown "losses" collection rides the scan via
+            # variable_axes.  Cache layout: {"stacked":
+            # {"block_layer_<j>": {...}}} with a leading BLOCK axis on
+            # every leaf (the beam helpers key off "stacked" as usual).
+            f = self._block_size()
+            if self.num_layers % f != 0:
+                raise ValueError(
+                    f"scan_layers with MoE requires num_layers "
+                    f"({self.num_layers}) divisible by "
+                    f"moe_layer_frequency ({f})")
+            self.layers = nn.scan(
+                _ScanDecoderBlockBody,
+                variable_axes={"params": 0, "losses": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(0,) + (nn.broadcast,) * 8,
+                out_axes=0,
+                length=self.num_layers // f,
+                metadata_params={nn.meta.PARTITION_NAME: "layers"},
+            )(layer_kwargs=tuple(sorted(self._layer_kwargs().items())),
+              moe_kwargs=tuple(sorted(self._layer_kwargs(moe=True).items())),
+              block_size=f, name="layers")
+            if not self.post_normalize:
+                self.output_ln = LayerNorm(
+                    epsilon=self.layer_postprocess_epsilon,
+                    dtype=self.dtype, name="output_ln")
+            return
         if self.pipeline_stages > 1:
             # training/teacher-forcing pipelining (layers/pipeline.py).
             # Stepwise decode uses the scan/per-layer layout instead:
@@ -160,6 +197,24 @@ class TransformerDecoder(nn.Module):
                 "checkpoint into a scan_layers/per-layer model instead "
                 "(the restore bridge reshapes the stacked params)")
         head_dim = self.hidden_size // self.num_attention_heads
+        if self._moe_scan():
+            f = self._block_size()
+            zeros = jnp.zeros(
+                (self.num_layers // f, batch_size, decode_padded_length,
+                 self.num_attention_heads, head_dim), dtype=self.dtype)
+            stacked = {f"block_layer_{j}": {
+                "self": {"keys": zeros, "values": zeros}}
+                for j in range(f)}
+            if self.with_cross_attention:
+                dummy = jnp.zeros(
+                    (batch_size, 1, self.hidden_size), self.dtype)
+                _, mem = self.layers(dummy, None, None, encoder_outputs,
+                                     None, None, False, False, None,
+                                     "memorize")
+                for j in range(f):
+                    stacked[f"block_layer_{j}"].update(
+                        mem[f"block_layer_{j}"])
+            return {"stacked": stacked}
         if self.scan_layers:
             zeros = jnp.zeros(
                 (self.num_layers, batch_size, decode_padded_length,
@@ -212,7 +267,10 @@ class TransformerDecoder(nn.Module):
                 self_bias = layer_utils.causal_self_attention_bias(length)
         else:
             length = 1
-            if self.scan_layers:
+            if self._moe_scan():
+                max_len = \
+                    cache["stacked"]["block_layer_0"]["self"]["keys"].shape[2]
+            elif self.scan_layers:
                 max_len = cache["stacked"]["self"]["keys"].shape[2]
             else:
                 max_len = cache["layer_0"]["self"]["keys"].shape[1]
@@ -298,3 +356,40 @@ class _ScanDecoderBody(nn.Module):
             self_flash_causal=self_flash_causal,
             cross_flash_lengths=cross_flash_lengths)
         return x, upd
+
+
+class _ScanDecoderBlockBody(nn.Module):
+    """nn.scan target for MoE stacks: one block of ``block_size``
+    decoder layers (dense FFNs then an MoE FFN last — global layer i is
+    MoE iff (i+1) % block_size == 0).  The block's cache slice is a
+    dict keyed ``block_layer_<j>`` and is the scanned input/output."""
+    layer_kwargs: tuple  # sorted (key, value) pairs (hashable for flax)
+    moe_kwargs: tuple
+    block_size: int
+
+    @nn.compact
+    def __call__(self, carry, block_cache, self_bias, memory, memory_bias,
+                 decode_step, is_training, self_flash_causal,
+                 cross_flash_lengths, mode):
+        layers = [
+            TransformerDecoderLayer(
+                **dict(self.moe_kwargs if j == self.block_size - 1
+                       else self.layer_kwargs),
+                name=f"block_layer_{j}")
+            for j in range(self.block_size)]
+        if mode == "memorize":
+            return carry, {f"block_layer_{j}": layer.memorize_memory(memory)
+                           for j, layer in enumerate(layers)}
+        x = carry
+        upds = {}
+        for j, layer in enumerate(layers):
+            layer_cache = None if block_cache is None \
+                else block_cache[f"block_layer_{j}"]
+            x, upd = layer(
+                x, self_attention_bias=self_bias, memory=memory,
+                memory_bias=memory_bias, cache=layer_cache,
+                decode_step=decode_step, is_training=is_training,
+                self_flash_causal=self_flash_causal,
+                cross_flash_lengths=cross_flash_lengths)
+            upds[f"block_layer_{j}"] = upd
+        return x, (None if block_cache is None else upds)

@@ -56,6 +56,7 @@ class TransformerEncoder(nn.Module):
     moe_top_k: int = 1
     moe_capacity_factor: float = 1.25
     moe_aux_loss_coef: float = 0.01
+    moe_router_jitter: float = 0.01
     dtype: Any = jnp.float32
 
     def _layer_kwargs(self, moe: bool = False):
@@ -75,7 +76,8 @@ class TransformerEncoder(nn.Module):
                 moe_num_experts=self.moe_num_experts,
                 moe_top_k=self.moe_top_k,
                 moe_capacity_factor=self.moe_capacity_factor,
-                moe_aux_loss_coef=self.moe_aux_loss_coef)
+                moe_aux_loss_coef=self.moe_aux_loss_coef,
+                moe_router_jitter=self.moe_router_jitter)
         return kwargs
 
     def _moe_layer(self, i: int) -> bool:
@@ -86,14 +88,45 @@ class TransformerEncoder(nn.Module):
                 and (i + 1) % max(1, int(self.moe_layer_frequency)) == 0)
 
     def setup(self):
-        if int(self.moe_num_experts) > 1 \
-                and (self.scan_layers or self.pipeline_stages > 1):
-            # scanned/pipelined stacks require homogeneous layers AND
-            # the sown aux-loss collection threaded through nn.scan —
-            # use the per-layer layout for MoE models
+        moe = int(self.moe_num_experts) > 1
+        if moe and self.pipeline_stages > 1:
+            # pipelined stacks require homogeneous layers; the GPipe
+            # schedule has no home for the per-layer aux-loss collection
             raise ValueError(
-                "moe_num_experts>1 requires the per-layer stack "
-                "(scan_layers=False, pipeline_stages=1)")
+                "moe_num_experts>1 requires scan_layers or the "
+                "per-layer stack (pipeline_stages=1)")
+        if moe and self.scan_layers:
+            # scan over BLOCKS of `moe_layer_frequency` layers (dense
+            # x(f-1) then MoE — exactly the per-layer pattern, since
+            # layer i is MoE iff (i+1) % f == 0): blocks are
+            # homogeneous, so one traced block lax.scans over a stacked
+            # parameter axis.  The sown "losses" collection rides the
+            # scan via variable_axes (one leading block axis per leaf;
+            # call_train sums leaves).  Param layout:
+            # <enc>/layers/block_layer_<j>/... with leading axis
+            # num_layers//f; checkpoints._bridge_scan_layouts converts
+            # to/from the per-layer and plain-scan layouts.
+            f = max(1, int(self.moe_layer_frequency))
+            if self.num_layers % f != 0:
+                raise ValueError(
+                    f"scan_layers with MoE requires num_layers "
+                    f"({self.num_layers}) divisible by "
+                    f"moe_layer_frequency ({f})")
+            self.layers = nn.scan(
+                _ScanEncoderBlockBody,
+                variable_axes={"params": 0, "losses": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=nn.broadcast,
+                length=self.num_layers // f,
+                metadata_params={nn.meta.PARTITION_NAME: "layers"},
+            )(layer_kwargs=tuple(sorted(self._layer_kwargs().items())),
+              moe_kwargs=tuple(sorted(self._layer_kwargs(moe=True).items())),
+              block_size=f, name="layers")
+            if not self.post_normalize:
+                self.output_ln = LayerNorm(
+                    epsilon=self.layer_postprocess_epsilon,
+                    dtype=self.dtype, name="output_ln")
+            return
         if self.pipeline_stages > 1:
             # layer pipelining over the mesh "stage" axis (GPipe
             # schedule, layers/pipeline.py); dense-bias attention only
@@ -194,3 +227,27 @@ class _ScanEncoderBody(nn.Module):
             flash_lengths=flash_lengths, flash_causal=flash_causal,
             ring_axis=ring_axis, ring_lengths=ring_lengths)
         return y, None
+
+
+class _ScanEncoderBlockBody(nn.Module):
+    """nn.scan target for MoE stacks: one block of ``block_size``
+    layers — dense FFNs then an MoE FFN last (global layer i is MoE iff
+    (i+1) % block_size == 0, so the block preserves the per-layer
+    pattern exactly)."""
+    layer_kwargs: tuple  # sorted (key, value) pairs (hashable for flax)
+    moe_kwargs: tuple
+    block_size: int
+
+    @nn.compact
+    def __call__(self, carry, bias, is_training, flash_lengths,
+                 flash_causal, ring_axis, ring_lengths):
+        x = carry
+        for j in range(self.block_size):
+            kwargs = (self.moe_kwargs if j == self.block_size - 1
+                      else self.layer_kwargs)
+            x = TransformerEncoderLayer(
+                **dict(kwargs), name=f"block_layer_{j}")(
+                x, bias, is_training=is_training,
+                flash_lengths=flash_lengths, flash_causal=flash_causal,
+                ring_axis=ring_axis, ring_lengths=ring_lengths)
+        return x, None

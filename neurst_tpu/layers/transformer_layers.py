@@ -49,6 +49,7 @@ class _LayerCommon(nn.Module):
     moe_top_k: int = 1
     moe_capacity_factor: float = 1.25
     moe_aux_loss_coef: float = 0.01
+    moe_router_jitter: float = 0.01
     dtype: Dtype = jnp.float32
 
     def _make_ffn(self):
@@ -61,6 +62,7 @@ class _LayerCommon(nn.Module):
                 top_k=int(self.moe_top_k),
                 capacity_factor=float(self.moe_capacity_factor),
                 aux_loss_coef=float(self.moe_aux_loss_coef),
+                router_jitter=float(self.moe_router_jitter),
                 activation=self.ffn_activation,
                 dropout_rate=self.ffn_dropout_rate,
                 dtype=self.dtype, name="ffn")

@@ -120,6 +120,10 @@ def _encdec_flags(prefix):
                   dtype=Flag.TYPE.FLOAT, default=None,
                   help="Coefficient of the Switch load-balancing "
                        "auxiliary loss (default 0.01)."))
+    f.append(Flag(f"{prefix}.moe_router_jitter",
+                  dtype=Flag.TYPE.FLOAT, default=None,
+                  help="Multiplicative router-logit jitter during "
+                       "training (Switch default 0.01; 0 disables)."))
     if prefix == "decoder":
         f.append(Flag("decoder.scan_layers",
                       dtype=Flag.TYPE.BOOLEAN, default=None,

@@ -185,12 +185,24 @@ def _bridge_scan_layouts(flat: Dict[str, np.ndarray],
     (``<stack>/layers/layer/REST`` with a stacked leading axis), and
     the pipeline-parallel layout
     (``<stack>/layers/pipeline/stages/layers/layer/REST`` with leading
-    ``[num_stages, layers_per_stage]`` axes), in whichever direction
-    the restore target requires."""
+    ``[num_stages, layers_per_stage]`` axes), and the MoE block-scan
+    layout (``<stack>/layers/block_layer_<j>/REST`` with a leading
+    num_blocks axis; global layer index = block * block_size + j), in
+    whichever direction the restore target requires."""
     out = dict(flat)
     pipe_suffix = "/pipeline/stages/layers/layer/"
     pipe_re = re.compile(r"^(.*)/layers/pipeline/stages/layers/layer/(.*)$")
     scan_re = re.compile(r"^(.*)/layers/layer/(.*)$")
+    block_re = re.compile(r"^(.*)/layers/block_layer_(\d+)/(.*)$")
+
+    def _block_size_in(names, base):
+        """Sub-layers per scanned block under `base` in `names`."""
+        f = 0
+        prefix = f"{base}/layers/block_layer_"
+        for k in names:
+            if k.startswith(prefix):
+                f = max(f, int(k[len(prefix):].split("/", 1)[0]) + 1)
+        return f
 
     def _stacked_source(base, rest, n):
         """[n, ...] from whichever source layout is present."""
@@ -202,6 +214,16 @@ def _bridge_scan_layouts(flat: Dict[str, np.ndarray],
             piped = np.asarray(piped)
             if piped.shape[0] * piped.shape[1] == n:
                 return piped.reshape((n,) + piped.shape[2:])
+        f = _block_size_in(out, base)
+        if f and n % f == 0:
+            parts = [out.get(f"{base}/layers/block_layer_{j}/{rest}")
+                     for j in range(f)]
+            if all(p is not None for p in parts):
+                arrs = [np.asarray(p) for p in parts]
+                if all(a.shape[0] == n // f for a in arrs):
+                    # interleave: global layer i = block*f + j
+                    return np.stack(arrs, 1).reshape(
+                        (n,) + arrs[0].shape[1:])
         parts = [out.get(f"{base}/layer_{i}/{rest}") for i in range(n)]
         if all(p is not None for p in parts):
             return np.stack([np.asarray(p) for p in parts], 0)
@@ -227,6 +249,23 @@ def _bridge_scan_layouts(flat: Dict[str, np.ndarray],
             if stacked is not None:
                 out[name] = stacked
             continue
+        m = block_re.match(name)
+        if m:  # target is MoE block-scan [num_blocks, ...]
+            base, j, rest = m.groups()
+            j = int(j)
+            nb = int(np.asarray(current).shape[0])
+            f = _block_size_in(target_flat, base)
+            parts = [out.get(f"{base}/layer_{b * f + j}/{rest}")
+                     for b in range(nb)]
+            if all(p is not None for p in parts):
+                out[name] = np.stack([np.asarray(p) for p in parts], 0)
+                continue
+            # homogeneous params may also come from a plain-scan or
+            # pipelined source: take the j-th layer of every block
+            stacked = _stacked_source(base, rest, nb * f)
+            if stacked is not None:
+                out[name] = stacked[j::f]
+            continue
         m = re.match(r"^(.*)/layer_(\d+)/(.*)$", name)
         if m:  # target is per-layer; source may be stacked/pipelined
             base, idx, rest = m.groups()
@@ -236,6 +275,15 @@ def _bridge_scan_layouts(flat: Dict[str, np.ndarray],
                 if piped is not None:
                     piped = np.asarray(piped)
                     stacked = piped.reshape((-1,) + piped.shape[2:])
+            if stacked is None:
+                f = _block_size_in(out, base)
+                if f:
+                    b, j = divmod(int(idx), f)
+                    arr = out.get(f"{base}/layers/block_layer_{j}/{rest}")
+                    if arr is not None \
+                            and b < np.asarray(arr).shape[0]:
+                        out[name] = np.asarray(arr)[b]
+                        continue
             if stacked is not None \
                     and int(idx) < np.asarray(stacked).shape[0]:
                 out[name] = np.asarray(stacked)[int(idx)]

@@ -318,12 +318,22 @@ def test_cli_moe_train_then_predict(tmp_path):
     assert all(np.isfinite(s) for s in result["scores"])
 
 
-def test_moe_rejects_scan_and_pipeline_layouts():
+def test_moe_rejects_pipeline_and_nondivisible_scan_layouts():
+    """pipeline_stages>1 with MoE stays rejected; scan_layers with MoE
+    (tests/layers/test_scan_moe.py) requires num_layers divisible by
+    moe_layer_frequency."""
     from neurst_tpu.models.model import build_model
 
     meta = {"vocab_size": 32, "eos_id": 1, "bos_id": 2, "unk_id": 3}
     cfg = _tiny_moe_model_cfg()
+    cfg["model.params"]["encoder.pipeline_stages"] = 2
+    model = build_model(cfg, src_meta=meta, trg_meta=meta)
+    with pytest.raises(ValueError, match="pipeline_stages"):
+        model.init_params(jax.random.PRNGKey(0))
+
+    cfg = _tiny_moe_model_cfg(freq=2)  # 2 layers, freq 2 divides
+    cfg["model.params"]["encoder.num_layers"] = 3  # ...but 3 does not
     cfg["model.params"]["encoder.scan_layers"] = True
     model = build_model(cfg, src_meta=meta, trg_meta=meta)
-    with pytest.raises(ValueError, match="per-layer"):
+    with pytest.raises(ValueError, match="divisible"):
         model.init_params(jax.random.PRNGKey(0))
