@@ -110,6 +110,106 @@ def stack_beam_size_selective(nested, beam_size,
     return walk(nested, False, 0)
 
 
+def cache_is_prefix_chunkable(nested, skip_keys=("memory",
+                                                 "memory_padding")):
+    """True iff every decode-step-indexed leaf of a decoding cache lives
+    under a ``"self"`` subtree — the static ``[..., max_len, heads,
+    head_dim]`` buffers whose time axis beam search may safely slice to
+    the valid prefix.  Caches with other stateful leaves (e.g. the
+    LightConv ring buffers under ``"conv"``) are NOT chunkable and fall
+    back to the plain full-length decode loop."""
+    found = [False]
+    ok = [True]
+
+    def walk(node, under_skip, under_self):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, under_skip or (k in skip_keys),
+                     under_self or k == "self")
+            return
+        if node is None or under_skip:
+            return
+        if under_self:
+            found[0] = True
+        else:
+            ok[0] = False
+
+    walk(nested, False, False)
+    return ok[0] and found[0]
+
+
+def resize_self_cache(nested, new_len,
+                      skip_keys=("memory", "memory_padding")):
+    """Slices (or zero-pads) the time axis of every ``"self"`` cache
+    leaf to ``new_len``.  Cache positions at or beyond the current
+    decode step are zero-initialized and masked by the decode bias, so
+    slice and pad-with-zeros are exact inverses: chunked decoding is
+    numerically identical to full-length decoding.
+
+    Leaves under a ``"stacked"`` key carry a leading layer axis, so
+    their time axis is 2, not 1 (matching the batch-axis convention of
+    the beam helpers above)."""
+
+    def walk(node, under_skip, under_self, time_axis):
+        if isinstance(node, dict):
+            return {k: walk(v, under_skip or (k in skip_keys),
+                            under_self or k == "self",
+                            time_axis + 1 if k == "stacked" else time_axis)
+                    for k, v in node.items()}
+        if node is None or under_skip or not under_self:
+            return node
+        cur = node.shape[time_axis]
+        if cur == new_len:
+            return node
+        if cur > new_len:
+            import jax
+            return jax.lax.slice_in_dim(node, 0, new_len, axis=time_axis)
+        pad = [(0, 0)] * node.ndim
+        pad[time_axis] = (0, new_len - cur)
+        return jnp.pad(node, pad)
+
+    return walk(nested, False, False, 1)
+
+
+def chunked_decode_while(cond_fn, body_fn, init_state,
+                         maximum_decode_length, prefix_chunk,
+                         time_offset=0):
+    """Runs a stepwise-decode ``while_loop`` in geometrically growing
+    self-cache prefix chunks (TPU decode-step HBM lever: each step's
+    attention reads, softmax width and beam-reorder gather touch only
+    ~the valid cache prefix instead of ``maximum_decode_length``).
+
+    Contract: ``init_state`` is a dict with a ``"time"`` scalar and a
+    ``"cache"`` pytree whose only step-indexed leaves live under
+    ``"self"`` keys (checked; otherwise falls back to one plain
+    ``while_loop``).  ``body_fn`` must derive its masking from the
+    cache's time-axis length, which is what the decoder stack does.
+    ``time_offset`` shifts cache positions relative to ``time`` (GPT-2
+    prompt prefill).  Exact: positions beyond the current step are
+    zeros and masked, so slicing them off is a no-op numerically.
+    """
+    import jax
+
+    if (not prefix_chunk or prefix_chunk <= 0
+            or prefix_chunk >= maximum_decode_length
+            or not cache_is_prefix_chunkable(init_state["cache"])):
+        return jax.lax.while_loop(cond_fn, body_fn, init_state)
+    ends = []
+    e = int(prefix_chunk)
+    while e < maximum_decode_length:
+        ends.append(e)
+        e *= 2
+    ends.append(maximum_decode_length)
+    state = init_state
+    for e in ends:
+        state = dict(state, cache=resize_self_cache(
+            state["cache"], time_offset + e))
+        state = jax.lax.while_loop(
+            lambda s, _e=e: jnp.logical_and(cond_fn(s), s["time"] < _e),
+            body_fn, state)
+    return state
+
+
 def gather_beams_selective(nested, beam_indices, skip_keys=("memory",
                                                            "memory_padding")):
     """Beam-reorders a cache pytree, skipping batch-invariant subtrees.

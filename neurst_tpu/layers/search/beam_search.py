@@ -57,7 +57,8 @@ def sequence_beam_search(symbols_to_logits_fn: Callable,
                          extra_decode_length: int = 50,
                          maximum_decode_length: int = 256,
                          minimum_decode_length: int = 0,
-                         enable_unk: bool = False):
+                         enable_unk: bool = False,
+                         prefix_decode_chunk: int = 0):
     """Beam search over a stepwise decode function.
 
     Args:
@@ -66,6 +67,11 @@ def sequence_beam_search(symbols_to_logits_fn: Callable,
         generation_initializer: dict with ``decoder_input`` [B],
             ``decoder_internal_cache`` (leaves with leading batch dim),
             ``encoder_inputs_maxlen`` scalar, ``eos_id``, ``unk_id``.
+        prefix_decode_chunk: when > 0, the decode loop runs in
+            geometrically growing self-cache prefix chunks starting at
+            this size, so each step reads ~the valid cache prefix
+            instead of ``maximum_decode_length`` (exact either way;
+            see layer_utils.chunked_decode_while).
 
     Returns:
         (hypotheses int32 [B * top_k, maximum_decode_length],
@@ -178,7 +184,10 @@ def sequence_beam_search(symbols_to_logits_fn: Callable,
             predicted=predicted,
         )
 
-    final = jax.lax.while_loop(cond_fn, body_fn, init_state)
+    final = layer_utils.chunked_decode_while(
+        cond_fn, body_fn, init_state, maximum_decode_length,
+        prefix_decode_chunk,
+        time_offset=int(generation_initializer.get("decode_time_offset", 0)))
 
     # extract top_k hypotheses by final score
     penalty = _length_penalty(final["lengths"], length_penalty)
@@ -214,6 +223,12 @@ class BeamSearch(SequenceSearch):
                  help="Decode up to source length + this many steps."),
             Flag("enable_unk", dtype=Flag.TYPE.BOOLEAN, default=False,
                  help="Whether UNK may be generated."),
+            Flag("prefix_decode_chunk", dtype=Flag.TYPE.INTEGER, default=64,
+                 help="Self-attention cache prefix chunk for stepwise "
+                      "decode: the loop runs in geometrically growing "
+                      "prefix chunks from this size, so each step reads "
+                      "~the valid cache prefix instead of "
+                      "maximum_decode_length (0 = off; exact either way)."),
             Flag("padded_decode", dtype=Flag.TYPE.BOOLEAN, default=True,
                  help="Kept for recipe compatibility; static-shape decode "
                       "is always on for TPU."),
@@ -235,4 +250,6 @@ class BeamSearch(SequenceSearch):
             extra_decode_length=a.get("extra_decode_length") or 50,
             maximum_decode_length=a.get("maximum_decode_length") or 256,
             minimum_decode_length=a.get("minimum_decode_length") or 0,
-            enable_unk=bool(a.get("enable_unk")))
+            enable_unk=bool(a.get("enable_unk")),
+            prefix_decode_chunk=(64 if a.get("prefix_decode_chunk") is None
+                                 else a["prefix_decode_chunk"]))

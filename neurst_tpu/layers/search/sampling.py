@@ -58,7 +58,8 @@ def sequence_sampling(symbols_to_logits_fn, generation_initializer, rng,
                       extra_decode_length: int = 50,
                       maximum_decode_length: int = 256,
                       minimum_decode_length: int = 0,
-                      enable_unk: bool = False):
+                      enable_unk: bool = False,
+                      prefix_decode_chunk: int = 0):
     """Samples sequences stepwise.  Returns (ids [B*num_samples, L],
     scores [B*num_samples] cumulative log-prob)."""
     eos_id = int(generation_initializer["eos_id"])
@@ -143,7 +144,10 @@ def sequence_sampling(symbols_to_logits_fn, generation_initializer, rng,
             rng=next_rng,
         )
 
-    final = jax.lax.while_loop(cond_fn, body_fn, init_state)
+    final = layer_utils.chunked_decode_while(
+        cond_fn, body_fn, init_state, maximum_decode_length,
+        prefix_decode_chunk,
+        time_offset=int(generation_initializer.get("decode_time_offset", 0)))
     return final["predicted"], final["log_probs"]
 
 
@@ -169,6 +173,12 @@ class TopSampling(SequenceSearch):
                  help="Decode up to source length + this many steps."),
             Flag("enable_unk", dtype=Flag.TYPE.BOOLEAN, default=False,
                  help="Whether UNK may be generated."),
+            Flag("prefix_decode_chunk", dtype=Flag.TYPE.INTEGER, default=64,
+                 help="Self-attention cache prefix chunk for stepwise "
+                      "decode: the loop runs in geometrically growing "
+                      "prefix chunks from this size, so each step reads "
+                      "~the valid cache prefix instead of "
+                      "maximum_decode_length (0 = off; exact either way)."),
             Flag("seed", dtype=Flag.TYPE.INTEGER, default=0,
                  help="The sampling random seed."),
         ]
@@ -189,4 +199,6 @@ class TopSampling(SequenceSearch):
             extra_decode_length=a.get("extra_decode_length") or 50,
             maximum_decode_length=a.get("maximum_decode_length") or 256,
             minimum_decode_length=a.get("minimum_decode_length") or 0,
-            enable_unk=bool(a.get("enable_unk")))
+            enable_unk=bool(a.get("enable_unk")),
+            prefix_decode_chunk=(64 if a.get("prefix_decode_chunk") is None
+                                 else a["prefix_decode_chunk"]))

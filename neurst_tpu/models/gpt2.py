@@ -198,6 +198,9 @@ class GPT2(BaseModel):
         generation_initializer = {
             "decoder_input": prompt[:, -1],
             "decoder_internal_cache": cache,
+            # cache position = time + prefill: chunked prefix decode
+            # (layer_utils.chunked_decode_while) sizes chunks off this
+            "decode_time_offset": prefill,
             "encoder_inputs_maxlen": None,
             "eos_id": self._trg_meta["eos_id"],
             "unk_id": self._trg_meta.get("unk_id"),
