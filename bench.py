@@ -101,6 +101,10 @@ def bench_decode(jax):
 
     model, trg_meta = _build_model(tiny=False)
     params = model.init_params(jax.random.PRNGKey(0))
+    # bf16-at-rest weights (utils/param_policy): bitwise-identical
+    # outputs (use sites cast to bf16 anyway), half the weight reads
+    from neurst_tpu.utils.param_policy import cast_params_for_inference
+    params = cast_params_for_inference(params, "bfloat16")
 
     rng = np.random.RandomState(0)
     # device-resident inputs: the metric is chip decode throughput; in

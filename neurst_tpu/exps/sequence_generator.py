@@ -69,7 +69,9 @@ class SequenceGenerator(BaseExperiment):
         flat = ckpt_lib.restore_checkpoint_params(path)
         params, _, missing = ckpt_lib.restore_into(params, flat)
         logging.info("Restored generation model from %s", path)
-        return params
+        from neurst_tpu.utils.param_policy import cast_params_for_inference
+        return cast_params_for_inference(
+            params, (self._model.args or {}).get("dtype"))
 
     def _dp_placement(self, params):
         """Data-parallel decode: with >1 device (and unless
@@ -161,6 +163,10 @@ class SequenceGenerator(BaseExperiment):
                 flat = ckpt_lib.restore_checkpoint_params(path)
                 params, _, _ = ckpt_lib.restore_into(params, flat)
                 logging.info("Restored ensemble member from %s", path)
+            from neurst_tpu.utils.param_policy import \
+                cast_params_for_inference
+            params = cast_params_for_inference(
+                params, (model.args or {}).get("dtype"))
             models.append(model)
             params_list.append(params)
         weights = (self._args.get("ensemble_weights")

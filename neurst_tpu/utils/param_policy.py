@@ -1,0 +1,76 @@
+# Copyright 2026 The NeurST-TPU Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+"""Parameter storage-dtype policy for inference.
+
+Checkpoints store float32 parameters (reference parity: TF
+mixed_float16 keeps f32 variables), but a bfloat16-compute model casts
+every dense kernel, bias and embedding table to bf16 *at use* — so
+serving from f32-at-rest params doubles the weight HBM reads of every
+decode step for zero numeric benefit.  ``cast_params_for_inference``
+stores those leaves in bf16 once, after restore: outputs are BITWISE
+identical for the transformer families because the cast the use site
+was going to perform has simply been hoisted.
+
+Leaves consumed in float32 keep f32 storage:
+  * LayerNorm / GroupNorm ``scale``/``bias`` (f32 statistics path,
+    common_layers.LayerNorm);
+  * learned QAT clip scalars ``*_clip_max`` (quant_layers);
+and the whole cast is skipped for f32-compute models and under
+``--enable_quant`` (fake quantization reads f32 kernels).
+"""
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["cast_params_for_inference"]
+
+_BF16_NAMES = ("bfloat16", "bf16")
+
+
+def _is_float32(x) -> bool:
+    dt = getattr(x, "dtype", None)
+    return dt is not None and np.dtype(dt) == np.float32
+
+
+def cast_params_for_inference(params, model_dtype: Any):
+    """Casts weight leaves of ``params`` to bf16 storage when the model
+    computes in bf16 (no-op otherwise, and under QAT)."""
+    name = model_dtype if isinstance(model_dtype, str) \
+        else jnp.dtype(model_dtype).name
+    if (name or "").lower() not in _BF16_NAMES:
+        return params
+    from neurst_tpu.layers.quantization.quant_layers import quant_enabled
+    if quant_enabled():
+        return params
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        is_norm = "scale" in node
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict):
+                out[k] = walk(v)
+            elif v is None or not _is_float32(v):
+                out[k] = v
+            elif k.endswith("_clip_max") or (is_norm and k in ("scale",
+                                                               "bias")):
+                out[k] = v
+            else:
+                out[k] = jnp.asarray(v).astype(jnp.bfloat16)
+        return out
+
+    return walk(params)
