@@ -54,6 +54,10 @@ FLAG_LIST = [
          help="Whether to enable quantization-aware training."),
     Flag("quant_params", dtype=Flag.TYPE.STRING, default=None,
          help="A dict of parameters for quantization."),
+    Flag("int8_serving", dtype=Flag.TYPE.BOOLEAN, default=False,
+         help="Serve with int8-stored dense kernels (weight-only "
+              "absmax-per-channel quantization applied to the f32 "
+              "checkpoint at restore; inference entries only)."),
     Flag("include", dtype=Flag.TYPE.STRING, default=None, multiple=True,
          help="Python files/modules with custom @register components to "
               "import before building."),
@@ -167,6 +171,18 @@ def run_experiment(args):
         import yaml as _yaml
         qp = _yaml.safe_load(qp)
     global_init(bool(args.get("enable_quant")), **(qp or {}))
+    if args.get("int8_serving"):
+        # int8 weight-only serving: must flip the dense factory before
+        # the model is built; the f32 checkpoint is quantized at
+        # restore (SequenceGenerator.restore_params)
+        from neurst_tpu.exps.trainer import Trainer as _Trainer
+        from neurst_tpu.layers.quantization.quant_layers import \
+            set_int8_serving
+        from neurst_tpu.utils.registry import get_registered_class
+        _entry = get_registered_class(args.get("entry.class"), "entry")
+        if isinstance(_entry, type) and issubclass(_entry, _Trainer):
+            raise ValueError("--int8_serving is inference-only")
+        set_int8_serving(True)
     task = build_task(args)
     custom_dataset = build_dataset(args) if args.get("dataset.class") \
         else None

@@ -67,6 +67,13 @@ class SequenceGenerator(BaseExperiment):
             logging.warning("No checkpoint found; using random init.")
             return params
         flat = ckpt_lib.restore_checkpoint_params(path)
+        from neurst_tpu.layers.quantization.quant_layers import \
+            int8_serving_enabled, int8ify_flat_params
+        if int8_serving_enabled():
+            flat = int8ify_flat_params(
+                flat, ckpt_lib.flatten_params(params))
+            logging.info("Quantized dense kernels to int8 "
+                         "(weight-only, absmax per output channel)")
         params, _, missing = ckpt_lib.restore_into(params, flat)
         logging.info("Restored generation model from %s", path)
         from neurst_tpu.utils.param_policy import cast_params_for_inference

@@ -45,7 +45,8 @@ from flax import linen as nn
 
 __all__ = ["global_init", "get_global_config", "quant_enabled",
            "fake_quant_minmax", "QuantDenseGeneral", "dense_general",
-           "clip_l2_penalty"]
+           "clip_l2_penalty", "set_int8_serving", "int8_serving_enabled",
+           "Int8DenseGeneral", "int8ify_flat_params"]
 
 _CONFIG = {
     "enable_quant": False,
@@ -182,6 +183,15 @@ def dense_general(features, axis=-1, use_bias=True, activation=None,
     flax DenseGeneral otherwise (zero risk / zero cost when off)."""
     kernel_init = kernel_init or nn.initializers.lecun_normal()
     bias_init = bias_init or nn.initializers.zeros
+    if int8_serving_enabled():
+        # serving-only: the caller applies any activation (same split
+        # as the plain path)
+        if isinstance(features, Sequence) and not isinstance(features, tuple):
+            features = tuple(features)
+        return Int8DenseGeneral(
+            features=features, axis=axis, use_bias=use_bias,
+            kernel_init=kernel_init, bias_init=bias_init, dtype=dtype,
+            name=name)
     if quant_enabled():
         if isinstance(features, Sequence) and not isinstance(features, tuple):
             features = tuple(features)
@@ -195,6 +205,107 @@ def dense_general(features, axis=-1, use_bias=True, activation=None,
         features=features, axis=axis, use_bias=use_bias,
         kernel_init=kernel_init, bias_init=bias_init, dtype=dtype,
         name=name)
+
+
+_INT8_SERVING = {"on": False}
+
+
+def set_int8_serving(on: bool):
+    """Enables int8 weight-only serving: every ``dense_general`` site
+    builds an ``Int8DenseGeneral`` (int8-stored kernels, dequantized
+    per output channel after the matmul).  Must be set before the model
+    is built; serving-only (training through int8 weights is
+    unsupported).  Beyond-reference: the reference's quantization is
+    fake-quant in TF graphs only — it never serves real int8 weights."""
+    if on and quant_enabled():
+        raise NotImplementedError(
+            "int8_serving of QAT checkpoints (learned clip ranges) is "
+            "not implemented yet; disable --enable_quant")
+    _INT8_SERVING["on"] = bool(on)
+
+
+def int8_serving_enabled() -> bool:
+    return bool(_INT8_SERVING["on"])
+
+
+class Int8DenseGeneral(nn.Module):
+    """Weight-only int8 dense for serving: the kernel is STORED int8
+    (quarter the HBM reads of f32-at-rest, half of bf16-at-rest) with a
+    float32 per-output-channel scale; the matmul runs in the compute
+    dtype and the scale is applied to the output:
+
+        y = (x @ q.astype(dtype)) * scale     (w_hat = q * scale)
+
+    Same kernel/bias shapes, names (modulo the ``_q``/``_scale``
+    suffixes) and partition metadata as the plain dense, so tp decode
+    sharding is unchanged.  Params come from a checkpoint via
+    ``int8ify_flat_params`` (absmax-per-output-channel quantization of
+    the f32 kernel); the init values are placeholders."""
+
+    features: Union[int, Tuple[int, ...]]
+    axis: Union[int, Tuple[int, ...]] = -1
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        axis = self.axis if isinstance(self.axis, tuple) else (self.axis,)
+        axis = tuple(a % x.ndim for a in axis)
+        features = self.features if isinstance(self.features, tuple) \
+            else (self.features,)
+        in_shape = tuple(x.shape[a] for a in axis)
+
+        def q_init(*args):
+            # keep the caller's partition metadata, swap values -> int8
+            return jax.tree_util.tree_map(
+                lambda v: jnp.zeros(v.shape, jnp.int8),
+                self.kernel_init(*args))
+
+        kernel_q = self.param("kernel_q", q_init, in_shape + features,
+                              jnp.float32)
+        kernel_scale = self.param("kernel_scale", nn.initializers.ones,
+                                  features, jnp.float32)
+        y = jax.lax.dot_general(
+            x.astype(self.dtype), jnp.asarray(kernel_q).astype(self.dtype),
+            (((*axis,), tuple(range(len(axis)))), ((), ())))
+        # dequantize in f32 (the scale's precision matters; the
+        # roundtrip fuses into the matmul epilogue)
+        y = (y.astype(jnp.float32)
+             * jnp.asarray(kernel_scale, jnp.float32)).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, features,
+                              jnp.float32)
+            y = y + jnp.asarray(bias, self.dtype)
+        return y
+
+
+def int8ify_flat_params(flat: dict, template_flat: dict) -> dict:
+    """Rewrites a flat f32 checkpoint dict for an int8-serving model:
+    for every ``<p>/kernel_q`` in the template, quantizes the
+    checkpoint's ``<p>/kernel`` to int8 with an absmax per-output-
+    channel scale (symmetric; channel = the trailing feature dims, read
+    off the template's ``<p>/kernel_scale`` shape)."""
+    out = dict(flat)
+    for name, tmpl in template_flat.items():
+        if not name.endswith("/kernel_q"):
+            continue
+        base = name[:-2]  # ".../kernel"
+        scale_name = base + "_scale"
+        w = flat.get(base)
+        if w is None:
+            continue
+        w = np.asarray(w, np.float32)
+        n_feature_dims = len(np.shape(template_flat[scale_name]))
+        reduce_axes = tuple(range(w.ndim - n_feature_dims))
+        absmax = np.max(np.abs(w), axis=reduce_axes)
+        scale = np.maximum(absmax, 1e-9) / 127.0
+        q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        out.pop(base, None)
+        out[name] = q
+        out[scale_name] = scale.astype(np.float32)
+    return out
 
 
 def clip_l2_penalty(params) -> jnp.ndarray:

@@ -1,0 +1,123 @@
+"""int8 weight-only serving (quant_layers.Int8DenseGeneral +
+int8ify_flat_params): dense kernels are STORED int8 (quarter the HBM
+reads of f32-at-rest) with an absmax per-output-channel f32 scale
+applied after the matmul.  Beyond-reference: the reference only
+fake-quantizes inside TF graphs and never serves real int8 weights."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+META = {"vocab_size": 20, "eos_id": 19, "bos_id": 19, "unk_id": 18}
+
+
+def _model(dtype="float32"):
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.models.transformer import Transformer
+    cfg = dict(Transformer.build_model_args_by_name(
+        "transformer_toy")["model.params"])
+    cfg["dtype"] = dtype
+    for prefix in ("encoder", "decoder"):
+        cfg[f"{prefix}.attention_dropout_rate"] = 0.0
+        cfg[f"{prefix}.ffn_dropout_rate"] = 0.0
+        cfg[f"{prefix}.layer_postprocess_dropout_rate"] = 0.0
+    return build_model({"model.class": "transformer", "model.params": cfg},
+                       src_meta=META, trg_meta=META)
+
+
+def _batch():
+    return {
+        "src": np.array([[3, 4, 5, 19, 0, 0], [6, 7, 8, 9, 10, 19]],
+                        np.int32),
+        "src_padding": np.array([[0, 0, 0, 0, 1, 1], [0] * 6], np.float32),
+        "trg_input": np.array([[19, 2, 3], [19, 4, 5]], np.int32),
+    }
+
+
+def test_int8_dense_equals_dequantized_matmul():
+    """y == x @ (q * scale) + b exactly (f32 compute)."""
+    from neurst_tpu.layers.quantization.quant_layers import Int8DenseGeneral
+    rng = np.random.RandomState(0)
+    x = rng.randn(3, 5).astype(np.float32)
+    q = rng.randint(-127, 128, size=(5, 4)).astype(np.int8)
+    scale = np.abs(rng.randn(4)).astype(np.float32) * 0.01
+    bias = rng.randn(4).astype(np.float32)
+    layer = Int8DenseGeneral(features=4, dtype=jnp.float32)
+    params = {"kernel_q": jnp.asarray(q), "kernel_scale": jnp.asarray(scale),
+              "bias": jnp.asarray(bias)}
+    y = np.asarray(layer.apply({"params": params}, jnp.asarray(x)))
+    expect = x @ (q.astype(np.float32) * scale) + bias
+    np.testing.assert_allclose(y, expect, rtol=0, atol=1e-5)
+
+
+def test_int8ify_quantizes_within_half_step():
+    from neurst_tpu.layers.quantization.quant_layers import \
+        int8ify_flat_params
+    rng = np.random.RandomState(1)
+    w = rng.randn(6, 3).astype(np.float32)
+    flat = {"m/kernel": w, "m/bias": np.zeros([3], np.float32)}
+    tmpl = {"m/kernel_q": np.zeros([6, 3], np.int8),
+            "m/kernel_scale": np.zeros([3], np.float32),
+            "m/bias": np.zeros([3], np.float32)}
+    out = int8ify_flat_params(flat, tmpl)
+    assert "m/kernel" not in out
+    assert out["m/kernel_q"].dtype == np.int8
+    w_hat = out["m/kernel_q"].astype(np.float32) * out["m/kernel_scale"]
+    step = out["m/kernel_scale"][None, :]
+    assert np.all(np.abs(w_hat - w) <= step / 2 + 1e-7)
+    np.testing.assert_array_equal(out["m/bias"], flat["m/bias"])
+
+
+def test_int8_transformer_restores_and_decodes_close_to_f32():
+    from neurst_tpu.layers.quantization import quant_layers
+    from neurst_tpu.layers.search.beam_search import sequence_beam_search
+    from neurst_tpu.utils.checkpoints import flatten_params, restore_into
+
+    plain = _model()
+    params = plain.init_params(jax.random.PRNGKey(0))
+    flat = {k: np.asarray(v) for k, v in flatten_params(params).items()}
+    logits = np.asarray(plain.call(params, _batch()))
+
+    quant_layers.set_int8_serving(True)
+    try:
+        m8 = _model()
+        tmpl = m8.init_params(jax.random.PRNGKey(1))
+        tmpl_flat = flatten_params(tmpl)
+        qnames = [n for n in tmpl_flat if n.endswith("kernel_q")]
+        assert qnames, "int8 model has no int8 kernels"
+        flat_q = quant_layers.int8ify_flat_params(flat, tmpl_flat)
+        params_q, _, missing = restore_into(tmpl, flat_q)
+        assert not missing, missing
+        for n, v in flatten_params(params_q).items():
+            if n.endswith("kernel_q"):
+                assert jnp.asarray(v).dtype == jnp.int8, n
+        logits_q = np.asarray(m8.call(params_q, _batch()))
+        # weight-only int8: ~0.4% per-weight error; logits stay close
+        assert np.max(np.abs(logits_q - logits)) < 0.2, \
+            np.max(np.abs(logits_q - logits))
+
+        # beam decode runs end-to-end through the int8 modules
+        inputs = {k: v for k, v in _batch().items() if k != "trg_input"}
+        inputs["trg_input"] = np.full([2], META["bos_id"], np.int32)
+        s2l, init = m8.prepare_generation(
+            params_q, inputs, decode_padded_length=12)
+        hyp, score = sequence_beam_search(
+            s2l, init, beam_size=2, top_k=1, maximum_decode_length=12,
+            extra_decode_length=12, prefix_decode_chunk=4)
+        assert np.asarray(hyp).shape == (2, 12)
+        assert np.all(np.isfinite(np.asarray(score)))
+    finally:
+        quant_layers.set_int8_serving(False)
+
+
+def test_int8_rejected_with_qat():
+    from neurst_tpu.layers.quantization import quant_layers
+    quant_layers.global_init(True, quant_bits=8)
+    try:
+        with pytest.raises(NotImplementedError):
+            quant_layers.set_int8_serving(True)
+    finally:
+        quant_layers.global_init(False)
+        quant_layers.set_int8_serving(False)
