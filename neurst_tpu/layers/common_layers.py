@@ -184,12 +184,31 @@ class WordEmbedding(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.weights = self.param(
-            "weights",
-            nn.with_partitioning(
-                nn.initializers.normal(self.embedding_dim ** -0.5),
-                ("vocab", "embed")),
-            (self.vocab_size, self.embedding_dim), jnp.float32)
+        from neurst_tpu.layers.quantization.quant_layers import \
+            int8_serving_enabled
+        base_init = nn.with_partitioning(
+            nn.initializers.normal(self.embedding_dim ** -0.5),
+            ("vocab", "embed"))
+        self._int8 = int8_serving_enabled()
+        if self._int8:
+            # int8-at-rest table with an absmax per-vocab-row f32 scale
+            # (quant_layers.int8ify_flat_params fills both at restore):
+            # the same scale dequantizes gathered rows in __call__ AND
+            # the logits channels in attend
+            def q_init(*args):
+                import jax as _jax
+                return _jax.tree_util.tree_map(
+                    lambda v: jnp.zeros(v.shape, jnp.int8), base_init(*args))
+            self.weights_q = self.param(
+                "weights_q", q_init,
+                (self.vocab_size, self.embedding_dim), jnp.float32)
+            self.weights_scale = self.param(
+                "weights_scale", nn.initializers.ones,
+                (self.vocab_size,), jnp.float32)
+        else:
+            self.weights = self.param(
+                "weights", base_init,
+                (self.vocab_size, self.embedding_dim), jnp.float32)
         if self.share_softmax_weights and self.use_bias:
             self.softmax_bias = self.param(
                 "bias", nn.initializers.zeros, (self.vocab_size,),
@@ -202,8 +221,14 @@ class WordEmbedding(nn.Module):
 
     def __call__(self, ids, time=None):
         """ids [B, L] (or [B] with scalar `time`) -> [B, L, D] / [B, D]."""
-        table = jnp.asarray(self.weights).astype(self.dtype)
-        emb = jnp.take(table, ids, axis=0)
+        if self._int8:
+            rows = jnp.take(jnp.asarray(self.weights_q), ids, axis=0)
+            scale = jnp.take(jnp.asarray(self.weights_scale), ids, axis=0)
+            emb = (rows.astype(jnp.float32)
+                   * scale[..., None]).astype(self.dtype)
+        else:
+            table = jnp.asarray(self.weights).astype(self.dtype)
+            emb = jnp.take(table, ids, axis=0)
         if self.timing is None:
             return emb
         squeeze = ids.ndim == 1
@@ -229,11 +254,17 @@ class WordEmbedding(nn.Module):
 
     def attend(self, features):
         """[..., D] -> logits [..., vocab] via the (tied) table, fp32."""
-        w = jnp.asarray(self.weights).astype(features.dtype)
+        if self._int8:
+            w = jnp.asarray(self.weights_q).astype(features.dtype)
+        else:
+            w = jnp.asarray(self.weights).astype(features.dtype)
         logits = jax.lax.dot_general(
             features, w,
             dimension_numbers=(((features.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if self._int8:
+            # per-vocab-row dequantization lands on the channel axis
+            logits = logits * jnp.asarray(self.weights_scale, jnp.float32)
         if self.share_softmax_weights and self.use_bias:
             logits = logits + self.softmax_bias
         return logits

@@ -289,19 +289,30 @@ def int8ify_flat_params(flat: dict, template_flat: dict) -> dict:
     off the template's ``<p>/kernel_scale`` shape)."""
     out = dict(flat)
     for name, tmpl in template_flat.items():
-        if not name.endswith("/kernel_q"):
+        if not (name.endswith("/kernel_q") or name.endswith("/weights_q")):
             continue
-        base = name[:-2]  # ".../kernel"
+        base = name[:-2]  # ".../kernel" or ".../weights"
         scale_name = base + "_scale"
         w = flat.get(base)
         if w is None:
             continue
         w = np.asarray(w, np.float32)
-        n_feature_dims = len(np.shape(template_flat[scale_name]))
-        reduce_axes = tuple(range(w.ndim - n_feature_dims))
-        absmax = np.max(np.abs(w), axis=reduce_axes)
-        scale = np.maximum(absmax, 1e-9) / 127.0
-        q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        n_scale_dims = len(np.shape(template_flat[scale_name]))
+        if name.endswith("/weights_q"):
+            # embedding table [V, D]: per-vocab-ROW scale [V] serves
+            # both the lookup and the tied-softmax channel dequant
+            reduce_axes = tuple(range(n_scale_dims, w.ndim))
+            keep = np.max(np.abs(w), axis=reduce_axes)
+        else:
+            # dense kernel [in..., out...]: per-OUTPUT-channel scale
+            reduce_axes = tuple(range(w.ndim - n_scale_dims))
+            keep = np.max(np.abs(w), axis=reduce_axes)
+        scale = np.maximum(keep, 1e-9) / 127.0
+        if name.endswith("/weights_q"):
+            denom = scale.reshape(scale.shape + (1,) * len(reduce_axes))
+        else:
+            denom = scale  # aligns to the trailing (feature) dims
+        q = np.clip(np.round(w / denom), -127, 127).astype(np.int8)
         out.pop(base, None)
         out[name] = q
         out[scale_name] = scale.astype(np.float32)

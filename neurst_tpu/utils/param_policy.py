@@ -66,7 +66,7 @@ def cast_params_for_inference(params, model_dtype: Any):
                 out[k] = walk(v)
             elif v is None or not _is_float32(v):
                 out[k] = v
-            elif k.endswith("_clip_max") or k == "kernel_scale" \
+            elif k.endswith("_clip_max") or k.endswith("_scale") \
                     or (is_norm and k in ("scale", "bias")):
                 out[k] = v
             else:

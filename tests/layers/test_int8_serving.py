@@ -70,6 +70,26 @@ def test_int8ify_quantizes_within_half_step():
     np.testing.assert_array_equal(out["m/bias"], flat["m/bias"])
 
 
+def test_int8_embedding_row_scale_roundtrip():
+    """Embedding table [V, D] gets a per-vocab-ROW scale: the same
+    scale dequantizes gathered rows and tied-softmax logit channels."""
+    from neurst_tpu.layers.quantization.quant_layers import \
+        int8ify_flat_params
+    rng = np.random.RandomState(2)
+    w = (rng.randn(10, 4) * np.linspace(0.1, 2.0, 10)[:, None]
+         ).astype(np.float32)
+    flat = {"emb/weights": w}
+    tmpl = {"emb/weights_q": np.zeros([10, 4], np.int8),
+            "emb/weights_scale": np.zeros([10], np.float32)}
+    out = int8ify_flat_params(flat, tmpl)
+    w_hat = (out["emb/weights_q"].astype(np.float32)
+             * out["emb/weights_scale"][:, None])
+    assert np.all(np.abs(w_hat - w) <= out["emb/weights_scale"][:, None]
+                  / 2 + 1e-7)
+    # rows with very different magnitudes keep their own precision
+    assert out["emb/weights_scale"][0] < out["emb/weights_scale"][-1]
+
+
 def test_int8_transformer_restores_and_decodes_close_to_f32():
     from neurst_tpu.layers.quantization import quant_layers
     from neurst_tpu.layers.search.beam_search import sequence_beam_search
@@ -87,6 +107,8 @@ def test_int8_transformer_restores_and_decodes_close_to_f32():
         tmpl_flat = flatten_params(tmpl)
         qnames = [n for n in tmpl_flat if n.endswith("kernel_q")]
         assert qnames, "int8 model has no int8 kernels"
+        enames = [n for n in tmpl_flat if n.endswith("weights_q")]
+        assert enames, "int8 model has no int8 embedding table"
         flat_q = quant_layers.int8ify_flat_params(flat, tmpl_flat)
         params_q, _, missing = restore_into(tmpl, flat_q)
         assert not missing, missing
