@@ -176,12 +176,20 @@ def run_experiment(args):
         # the model is built; the f32 checkpoint is quantized at
         # restore (SequenceGenerator.restore_params)
         from neurst_tpu.exps.trainer import Trainer as _Trainer
-        from neurst_tpu.layers.quantization.quant_layers import \
-            set_int8_serving
+        from neurst_tpu.layers.quantization.quant_layers import (
+            quant_enabled, set_int8_serving)
         from neurst_tpu.utils.registry import get_registered_class
         _entry = get_registered_class(args.get("entry.class"), "entry")
         if isinstance(_entry, type) and issubclass(_entry, _Trainer):
             raise ValueError("--int8_serving is inference-only")
+        if quant_enabled():
+            # QAT checkpoint: serve real int8 instead of fake-quant —
+            # the learned *_clip_max vars drive the int8 ranges at
+            # restore; activation fake-quant is dropped (weight-only)
+            logging.info("int8_serving of a QAT checkpoint: learned "
+                         "clip ranges drive the int8 scales; "
+                         "activation fake-quant is dropped")
+            global_init(False)
         set_int8_serving(True)
     task = build_task(args)
     custom_dataset = build_dataset(args) if args.get("dataset.class") \

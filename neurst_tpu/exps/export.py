@@ -83,6 +83,11 @@ class GenerationExporter(BaseExperiment):
         if path:
             flat = ckpt_lib.restore_checkpoint_params(path)
             params, _, _ = ckpt_lib.restore_into(params, flat)
+        # bf16-at-rest weights inside the exported artifact: bitwise
+        # identical serving outputs, half the artifact/HBM bytes
+        from neurst_tpu.utils.param_policy import cast_params_for_inference
+        params = cast_params_for_inference(
+            params, (model.args or {}).get("dtype"))
         search = build_search_layer(args)
         search.set_model(model)
 

@@ -216,11 +216,19 @@ def set_int8_serving(on: bool):
     per output channel after the matmul).  Must be set before the model
     is built; serving-only (training through int8 weights is
     unsupported).  Beyond-reference: the reference's quantization is
-    fake-quant in TF graphs only — it never serves real int8 weights."""
+    fake-quant in TF graphs only — it never serves real int8 weights.
+
+    QAT checkpoints: callers must turn the QAT module structure OFF
+    (``global_init(False)``) — the learned ``*_clip_max`` variables in
+    the checkpoint then drive the int8 ranges (int8ify_flat_params),
+    reproducing the QAT weight grid exactly (the fake-quant levels are
+    integer multiples of clip_max/127 in [-128, 127]).  Activation
+    fake-quant is dropped at serving (weight-only)."""
     if on and quant_enabled():
-        raise NotImplementedError(
-            "int8_serving of QAT checkpoints (learned clip ranges) is "
-            "not implemented yet; disable --enable_quant")
+        raise ValueError(
+            "int8_serving builds Int8 modules; turn QAT module "
+            "construction off first (global_init(False)) — the "
+            "checkpoint's learned clips still drive the int8 ranges")
     _INT8_SERVING["on"] = bool(on)
 
 
@@ -286,7 +294,13 @@ def int8ify_flat_params(flat: dict, template_flat: dict) -> dict:
     for every ``<p>/kernel_q`` in the template, quantizes the
     checkpoint's ``<p>/kernel`` to int8 with an absmax per-output-
     channel scale (symmetric; channel = the trailing feature dims, read
-    off the template's ``<p>/kernel_scale`` shape)."""
+    off the template's ``<p>/kernel_scale`` shape).
+
+    QAT checkpoints: when ``<p>/kernel_clip_max`` exists, the learned
+    clip drives a per-tensor scale ``clip/127`` with levels in
+    [-128, 127] — the QAT fake-quant grid (cmin is -128/127*cmax, step
+    cmax/127), so int8-served weights land on the same levels the QAT
+    training optimized for."""
     out = dict(flat)
     for name, tmpl in template_flat.items():
         if not (name.endswith("/kernel_q") or name.endswith("/weights_q")):
@@ -298,6 +312,18 @@ def int8ify_flat_params(flat: dict, template_flat: dict) -> dict:
             continue
         w = np.asarray(w, np.float32)
         n_scale_dims = len(np.shape(template_flat[scale_name]))
+        clip = flat.get(base + "_clip_max")
+        if clip is not None and name.endswith("/kernel_q"):
+            # learned QAT clip -> per-tensor scale; levels [-128, 127]
+            # reproduce the fake-quant grid exactly
+            scale_val = max(float(np.asarray(clip)), 1e-9) / 127.0
+            q = np.clip(np.round(w / scale_val), -128, 127).astype(np.int8)
+            out.pop(base, None)
+            out.pop(base + "_clip_max", None)
+            out[name] = q
+            out[scale_name] = np.full(
+                np.shape(template_flat[scale_name]), scale_val, np.float32)
+            continue
         if name.endswith("/weights_q"):
             # embedding table [V, D]: per-vocab-ROW scale [V] serves
             # both the lookup and the tied-softmax channel dequant

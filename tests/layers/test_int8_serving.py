@@ -134,12 +134,35 @@ def test_int8_transformer_restores_and_decodes_close_to_f32():
         quant_layers.set_int8_serving(False)
 
 
-def test_int8_rejected_with_qat():
+def test_int8_requires_qat_modules_off():
     from neurst_tpu.layers.quantization import quant_layers
     quant_layers.global_init(True, quant_bits=8)
     try:
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             quant_layers.set_int8_serving(True)
     finally:
         quant_layers.global_init(False)
         quant_layers.set_int8_serving(False)
+
+
+def test_int8_uses_learned_qat_clip_ranges():
+    """A QAT checkpoint's kernel_clip_max drives the int8 scale: the
+    dequantized weights land on the QAT fake-quant grid."""
+    from neurst_tpu.layers.quantization.quant_layers import (
+        fake_quant_minmax, int8ify_flat_params)
+    rng = np.random.RandomState(3)
+    w = (rng.randn(6, 4) * 0.7).astype(np.float32)
+    cmax = 0.5  # tighter than absmax -> clipping occurs
+    flat = {"m/kernel": w,
+            "m/kernel_clip_max": np.asarray(cmax, np.float32)}
+    tmpl = {"m/kernel_q": np.zeros([6, 4], np.int8),
+            "m/kernel_scale": np.zeros([4], np.float32)}
+    out = int8ify_flat_params(flat, tmpl)
+    assert "m/kernel_clip_max" not in out
+    np.testing.assert_allclose(out["m/kernel_scale"], cmax / 127.0,
+                               rtol=1e-6)
+    w_hat = out["m/kernel_q"].astype(np.float32) * out["m/kernel_scale"]
+    expect = np.asarray(fake_quant_minmax(
+        jnp.asarray(w), -cmax * 128.0 / 127.0, cmax, 8))
+    np.testing.assert_allclose(w_hat, expect, rtol=0, atol=1e-6)
+    assert out["m/kernel_q"].min() >= -128
