@@ -57,6 +57,13 @@ class SequenceGenerator(BaseExperiment):
                  help="Shard decode batches over all devices (on by "
                       "default with >1 device; pass false to pin to "
                       "one)."),
+            Flag("decode_tensor_parallel", dtype=Flag.TYPE.INTEGER,
+                 default=None,
+                 help="Shard the model's parameters (heads/mlp/vocab "
+                      "logical axes) over this many devices during "
+                      "decode; composes with data parallelism (mesh = "
+                      "dp x tp over all devices). For models too large "
+                      "for one chip's HBM."),
         ]
 
     def restore_params(self, params):
@@ -81,20 +88,31 @@ class SequenceGenerator(BaseExperiment):
             params, (self._model.args or {}).get("dtype"))
 
     def _dp_placement(self, params):
-        """Data-parallel decode: with >1 device (and unless
-        --decode_data_parallel false), replicate params over a "data"
-        mesh and shard each batch's leading axis — XLA partitions the
-        whole beam search SPMD, the scale-out inference the reference
-        lacks (its predict is single-replica)."""
+        """Scale-out decode placement (the reference's predict is
+        single-replica).  Default: replicate params over a "data" mesh
+        and shard each batch's leading axis — XLA partitions the whole
+        beam search SPMD.  With --decode_tensor_parallel N, the params'
+        logical axes (heads/mlp/vocab) additionally shard over an
+        N-way "model" axis (mesh = dp x tp over all devices) — serving
+        models too large for one chip's HBM."""
         import jax as _jax
-        if _jax.device_count() <= 1 \
-                or self._args.get("decode_data_parallel") is False:
+        tp = int(self._args.get("decode_tensor_parallel") or 1)
+        if _jax.device_count() <= 1 or (
+                tp <= 1 and self._args.get("decode_data_parallel") is False):
             return None, params
-        from neurst_tpu.parallel.mesh import make_mesh, replicated
-        mesh = make_mesh()
-        params = _jax.device_put(params, replicated(mesh))
-        logging.info("Data-parallel decode over %d devices",
-                     mesh.shape["data"])
+        from neurst_tpu.parallel.mesh import (make_mesh, params_shardings,
+                                              replicated)
+        mesh = make_mesh(model_parallel=max(tp, 1))
+        if tp > 1 and params is not None:
+            shardings = params_shardings(
+                mesh, self._model.params_spec(), params)
+            params = _jax.device_put(params, shardings)
+            logging.info("Decode over %d-way data x %d-way tensor "
+                         "parallelism", mesh.shape["data"], tp)
+        else:
+            params = _jax.device_put(params, replicated(mesh))
+            logging.info("Data-parallel decode over %d devices",
+                         mesh.shape["data"])
         return mesh, params
 
     def _dp_put(self, mesh, inp):
