@@ -136,6 +136,7 @@ class SequenceGenerator(BaseExperiment):
         mesh, params = self._dp_placement(params)
         search = build_search_layer(self._args)
         search.set_model(self._model)
+        search.prepare()  # host-side setup (e.g. draft model restore)
         import inspect
         takes_rng = "rng" in inspect.signature(
             search.__call__).parameters

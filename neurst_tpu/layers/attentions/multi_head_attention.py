@@ -191,12 +191,25 @@ class MultiHeadSelfAttention(MultiHeadAttention):
                                   causal=flash_causal)
             return self.output_transform(out), cache
         if cache is not None and decode_step is not None:
-            keys = jax.lax.dynamic_update_slice(
-                cache["keys"], k.astype(cache["keys"].dtype),
-                (0, decode_step, 0, 0))
-            values = jax.lax.dynamic_update_slice(
-                cache["values"], v.astype(cache["values"].dtype),
-                (0, decode_step, 0, 0))
+            if getattr(decode_step, "ndim", 0) == 1:
+                # per-row write offsets ([B] times, speculative decode):
+                # query is [B, k, D]; row b's k slots land at
+                # decode_step[b] + [0..k)
+                def upd(c, val, t):
+                    return jax.lax.dynamic_update_slice(c, val, (t, 0, 0))
+                keys = jax.vmap(upd)(
+                    cache["keys"], k.astype(cache["keys"].dtype),
+                    decode_step)
+                values = jax.vmap(upd)(
+                    cache["values"], v.astype(cache["values"].dtype),
+                    decode_step)
+            else:
+                keys = jax.lax.dynamic_update_slice(
+                    cache["keys"], k.astype(cache["keys"].dtype),
+                    (0, decode_step, 0, 0))
+                values = jax.lax.dynamic_update_slice(
+                    cache["values"], v.astype(cache["values"].dtype),
+                    (0, decode_step, 0, 0))
             cache = {"keys": keys, "values": values}
             k, v = keys, values
         return self._attend(q, k, v, bias, is_training), cache

@@ -165,6 +165,28 @@ def sinusoidal_position_signal(length: int, channels: int, start: int = 0,
     return signal.astype(dtype)
 
 
+def sinusoidal_position_signal_at(positions, channels: int,
+                                  min_timescale: float = 1.0,
+                                  max_timescale: float = 1.0e4,
+                                  dtype=jnp.float32):
+    """Same T2T sinusoids at EXPLICIT positions ``[..., ]`` (e.g. the
+    per-row decode times of speculative decoding) -> [..., channels]."""
+    position = jnp.asarray(positions, jnp.float32)
+    num_timescales = channels // 2
+    log_timescale_increment = (
+        math.log(float(max_timescale) / float(min_timescale))
+        / max(float(num_timescales) - 1.0, 1.0))
+    inv_timescales = min_timescale * jnp.exp(
+        jnp.arange(num_timescales, dtype=jnp.float32)
+        * -log_timescale_increment)
+    scaled_time = position[..., None] * inv_timescales
+    signal = jnp.concatenate([jnp.sin(scaled_time), jnp.cos(scaled_time)],
+                             axis=-1)
+    if channels % 2:
+        signal = jnp.pad(signal, [(0, 0)] * (signal.ndim - 1) + [(0, 1)])
+    return signal.astype(dtype)
+
+
 class WordEmbedding(nn.Module):
     """Embedding table with optional tied pre-softmax projection.
 
@@ -236,16 +258,30 @@ class WordEmbedding(nn.Module):
             emb = emb[:, None, :]
         length = emb.shape[1]
         start = 0 if time is None else time
+        per_row = getattr(start, "ndim", 0) == 1  # [B] decode times
         if self.timing == "sinusoids":
             emb = emb * (self.embedding_dim ** 0.5)
-            signal = sinusoidal_position_signal(
-                length, self.embedding_dim, start=start, dtype=emb.dtype)
-            emb = emb + signal[None, :, :]
+            if per_row:
+                # speculative decode: row b's tokens sit at positions
+                # start[b] + [0..length)
+                positions = start[:, None] + jnp.arange(length)
+                signal = sinusoidal_position_signal_at(
+                    positions, self.embedding_dim, dtype=emb.dtype)
+                emb = emb + signal
+            else:
+                signal = sinusoidal_position_signal(
+                    length, self.embedding_dim, start=start,
+                    dtype=emb.dtype)
+                emb = emb + signal[None, :, :]
         elif self.timing == "emb":
             pos_table = jnp.asarray(self.position_table).astype(emb.dtype)
-            pos_emb = jax.lax.dynamic_slice_in_dim(
-                pos_table, start, length, 0)
-            emb = emb + pos_emb[None, :, :]
+            if per_row:
+                positions = start[:, None] + jnp.arange(length)
+                emb = emb + jnp.take(pos_table, positions, axis=0)
+            else:
+                pos_emb = jax.lax.dynamic_slice_in_dim(
+                    pos_table, start, length, 0)
+                emb = emb + pos_emb[None, :, :]
         else:
             raise ValueError(f"Unknown timing: {self.timing}")
         if squeeze:

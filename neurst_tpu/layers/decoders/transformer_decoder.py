@@ -266,7 +266,7 @@ class TransformerDecoder(nn.Module):
             if not use_flash:
                 self_bias = layer_utils.causal_self_attention_bias(length)
         else:
-            length = 1
+            length = inputs.shape[1]
             if self._moe_scan():
                 max_len = \
                     cache["stacked"]["block_layer_0"]["self"]["keys"].shape[2]
@@ -275,8 +275,19 @@ class TransformerDecoder(nn.Module):
             else:
                 max_len = cache["layer_0"]["self"]["keys"].shape[1]
             positions = jnp.arange(max_len)
-            self_bias = jnp.where(positions <= decode_step, 0.0,
-                                  layer_utils.NEG_INF)[None, None, None, :]
+            if getattr(decode_step, "ndim", 0) == 1:
+                # per-row times ([B], speculative decode): query slot j
+                # of row b sits at decode_step[b] + j and may attend
+                # cache positions <= that -> bias [B, 1, k, max_len]
+                qpos = decode_step[:, None] + jnp.arange(length)
+                self_bias = jnp.where(
+                    positions[None, None, None, :]
+                    <= qpos[:, None, :, None],
+                    0.0, layer_utils.NEG_INF)
+            else:
+                self_bias = jnp.where(
+                    positions <= decode_step, 0.0,
+                    layer_utils.NEG_INF)[None, None, None, :]
 
         memory_bias = None
         cross_flash_lengths = None
@@ -293,6 +304,10 @@ class TransformerDecoder(nn.Module):
                         layer_utils.waitk_cross_attention_bias(
                             length, src_len, decode_lagging)
                 else:
+                    if getattr(decode_step, "ndim", 0) == 1:
+                        raise NotImplementedError(
+                            "decode_lagging (wait-k) with per-row decode "
+                            "times (speculative decode) is unsupported")
                     allowed = jnp.arange(src_len) < (decode_step
                                                      + decode_lagging)
                     memory_bias = memory_bias + jnp.where(

@@ -37,6 +37,10 @@ class SequenceSearch(object):
     def set_model(self, model):
         self._model = model
 
+    def prepare(self):
+        """Host-side setup before the search is jitted (e.g. loading a
+        draft model's checkpoint) — must NOT run under a trace."""
+
     @staticmethod
     def class_or_method_args():
         return []

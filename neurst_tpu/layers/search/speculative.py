@@ -1,0 +1,286 @@
+# Copyright 2026 The NeurST-TPU Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+"""Draft-model speculative decoding (greedy-exact).
+
+Beyond-reference: the reference has no speculative decoding.  A small
+DRAFT model proposes ``k`` tokens autoregressively; the TARGET model
+verifies all of them in ONE multi-token step (``decode_steps``); the
+longest agreeing prefix is accepted plus the target's own next token as
+a correction.  Every emitted token is the target's greedy argmax, so
+the output is EXACTLY the target model's greedy decode (pinned by
+test) — the draft only changes how many target forward passes it takes.
+
+Static-shape JAX design: one ``lax.while_loop`` whose state carries
+PER-ROW decode times (rows accept different counts per iteration);
+cache writes use per-row ``dynamic_update_slice`` offsets
+(multi_head_attention.py), position signals come from explicit per-row
+positions (common_layers.sinusoidal_position_signal_at), and rejected
+draft positions hold stale cache states that are masked by the decode
+bias and overwritten before they can ever be attended (the next write
+window always starts at the first invalid position).
+"""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+
+from neurst_tpu.layers.layer_utils import NEG_INF
+from neurst_tpu.layers.search.sequence_search import (SequenceSearch,
+                                                      register_search_layer)
+from neurst_tpu.utils.flags_core import Flag
+
+__all__ = ["speculative_greedy_decode", "SpeculativeDecode"]
+
+
+def speculative_greedy_decode(target_steps_fn, target_init,
+                              draft_steps_fn, draft_init,
+                              speculative_k: int = 4,
+                              extra_decode_length: int = 50,
+                              maximum_decode_length: int = 256,
+                              minimum_decode_length: int = 0,
+                              enable_unk: bool = False):
+    """Greedy decode of the target model, accelerated by a draft model.
+
+    Args:
+        target_steps_fn / draft_steps_fn: fn(ids [B, k], cache,
+            times [B]) -> (logits [B, k, V], new_cache) — the
+            ``prepare_speculative`` closures of the two models.
+        target_init / draft_init: generation initializers (the decode
+            caches are independent; eos/bos/unk come from the target).
+        speculative_k: draft tokens proposed (and verified) per
+            iteration; up to k tokens commit per target forward pass.
+
+    Returns:
+        (hypotheses int32 [B, maximum_decode_length], scores float32
+         [B] — cumulative target log-prob of the emitted tokens, same
+         semantics as sampling with top_k=1).
+    """
+    k = int(speculative_k)
+    assert k >= 1
+    eos_id = int(target_init["eos_id"])
+    unk_id = target_init.get("unk_id")
+    if enable_unk:
+        unk_id = None
+    bos = target_init["decoder_input"].astype(jnp.int32)
+    batch = bos.shape[0]
+
+    enc_maxlen = target_init.get("encoder_inputs_maxlen")
+    if enc_maxlen is None:
+        max_steps = jnp.asarray(maximum_decode_length, jnp.int32)
+    else:
+        max_steps = jnp.minimum(
+            jnp.asarray(enc_maxlen, jnp.int32) + extra_decode_length,
+            maximum_decode_length)
+    max_steps = jnp.maximum(max_steps, minimum_decode_length)
+
+    def masked_log_probs(logits, emit_index):
+        """Target/draft token distribution at an emission index, with
+        the same UNK/min-length masking as the plain searches
+        (sampling.py): emit_index [B] or [B, k]."""
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        vocab = lp.shape[-1]
+        if unk_id is not None:
+            lp = lp + jnp.where(jnp.arange(vocab) == unk_id,
+                                NEG_INF, 0.0)
+        if minimum_decode_length > 0:
+            eos_mask = jnp.where(jnp.arange(vocab) == eos_id, NEG_INF, 0.0)
+            lp = lp + jnp.where(
+                (emit_index < minimum_decode_length - 1)[..., None],
+                eos_mask, 0.0)
+        return lp
+
+    # predicted buffer is k longer than the output: each iteration
+    # writes a full k-window at the row's time offset and the tail junk
+    # is either overwritten by the next window or cleaned up at the end
+    init_state = dict(
+        times=jnp.zeros([batch], jnp.int32),
+        last=bos,
+        finished=jnp.broadcast_to(max_steps <= 0, [batch]),
+        log_probs=jnp.zeros([batch], jnp.float32),
+        predicted=jnp.zeros([batch, maximum_decode_length + k], jnp.int32),
+        target_cache=target_init["decoder_internal_cache"],
+        draft_cache=draft_init["decoder_internal_cache"],
+    )
+
+    def cond_fn(state):
+        return jnp.logical_not(jnp.all(state["finished"]))
+
+    def body_fn(state):
+        times = state["times"]
+
+        # ---- draft: propose k tokens autoregressively ---- #
+        draft_cache = state["draft_cache"]
+        d_tokens = []
+        last_d = state["last"]
+        for j in range(k):
+            logits_d, draft_cache = draft_steps_fn(
+                last_d[:, None], draft_cache, times + j)
+            lp_d = masked_log_probs(logits_d[:, 0], times + j)
+            last_d = jnp.argmax(lp_d, axis=-1).astype(jnp.int32)
+            d_tokens.append(last_d)
+        d = jnp.stack(d_tokens, axis=1)  # [B, k]
+
+        # ---- target: verify all k in one multi-token step ---- #
+        inp = jnp.concatenate([state["last"][:, None], d[:, :k - 1]],
+                              axis=1)
+        logits_t, target_cache = target_steps_fn(
+            inp, state["target_cache"], times)
+        emit_index = times[:, None] + jnp.arange(k)  # [B, k]
+        lp_t = masked_log_probs(logits_t, emit_index)
+        g = jnp.argmax(lp_t, axis=-1).astype(jnp.int32)  # [B, k]
+
+        # longest agreeing prefix n, then commit m = min(n+1, k)
+        # tokens: n accepted drafts (== g) plus the target's own next
+        # token as the correction when n < k
+        agree = jnp.cumprod((d == g).astype(jnp.int32), axis=1)
+        n = jnp.sum(agree, axis=1)
+        m = jnp.minimum(n + 1, k)
+
+        # EOS inside the committed window truncates it (inclusive)
+        slot = jnp.arange(k)[None, :]
+        is_eos = jnp.logical_and(g == eos_id, slot < m[:, None])
+        first_eos = jnp.min(jnp.where(is_eos, slot, k), axis=1)
+        hit_eos = first_eos < k
+        m = jnp.where(hit_eos, first_eos + 1, m)
+
+        # max-length cap; finished rows commit nothing
+        m = jnp.minimum(m, jnp.maximum(max_steps - times, 0))
+        m = jnp.where(state["finished"], 0, m)
+        new_finished = jnp.logical_or(
+            state["finished"],
+            jnp.logical_or(jnp.logical_and(hit_eos, m > 0),
+                           times + m >= max_steps))
+
+        # commit: write the k-window, advance per-row state
+        def write(row, vals, t):
+            return jax.lax.dynamic_update_slice(row, vals, (t,))
+        predicted = jax.vmap(write)(state["predicted"], g, times)
+        committed = slot < m[:, None]
+        step_lp = jnp.take_along_axis(lp_t, g[..., None], axis=-1)[..., 0]
+        log_probs = state["log_probs"] + jnp.sum(
+            jnp.where(committed, step_lp, 0.0), axis=1)
+        last = jnp.where(
+            m > 0,
+            jnp.take_along_axis(
+                g, jnp.maximum(m - 1, 0)[:, None], axis=1)[:, 0],
+            state["last"])
+
+        return dict(
+            times=times + m,
+            last=last.astype(jnp.int32),
+            finished=new_finished,
+            log_probs=log_probs,
+            predicted=predicted,
+            target_cache=target_cache,
+            draft_cache=draft_cache,
+        )
+
+    final = jax.lax.while_loop(cond_fn, body_fn, init_state)
+    # clean the junk tail beyond each row's final length (EOS fill,
+    # matching the plain searches' post-finish EOS forcing)
+    positions = jnp.arange(maximum_decode_length + k)[None, :]
+    predicted = jnp.where(positions < final["times"][:, None],
+                          final["predicted"], eos_id)
+    return predicted[:, :maximum_decode_length], final["log_probs"]
+
+
+@register_search_layer("speculative_decode", "speculative")
+class SpeculativeDecode(SequenceSearch):
+    """Greedy decode of the bound model accelerated by a draft model
+    loaded from ``--draft_model_dir`` (its own model_configs.yml +
+    latest checkpoint; must share the target's vocabulary)."""
+
+    @staticmethod
+    def class_or_method_args():
+        return [
+            Flag("draft_model_dir", dtype=Flag.TYPE.STRING, default=None,
+                 help="Model dir of the (small) draft model: "
+                      "model_configs.yml + checkpoint; must share the "
+                      "target's target-side vocabulary."),
+            Flag("speculative_k", dtype=Flag.TYPE.INTEGER, default=4,
+                 help="Draft tokens proposed (and verified in one "
+                      "target pass) per iteration."),
+            Flag("maximum_decode_length", dtype=Flag.TYPE.INTEGER,
+                 default=256, help="The maximum decoding length."),
+            Flag("minimum_decode_length", dtype=Flag.TYPE.INTEGER, default=0,
+                 help="The minimum decoding length."),
+            Flag("extra_decode_length", dtype=Flag.TYPE.INTEGER, default=50,
+                 help="Decode up to source length + this many steps."),
+            Flag("enable_unk", dtype=Flag.TYPE.BOOLEAN, default=False,
+                 help="Whether UNK may be generated."),
+        ]
+
+    def __init__(self, args=None, draft_model=None, draft_params=None):
+        super().__init__(args)
+        self._draft_model = draft_model
+        self._draft_params = draft_params
+
+    def prepare(self):
+        # file IO + checkpoint restore must happen OUTSIDE the jit
+        # trace (SequenceGenerator calls prepare() before jitting)
+        self._ensure_draft()
+
+    def _ensure_draft(self):
+        if self._draft_model is not None:
+            return
+        draft_dir = self._args.get("draft_model_dir")
+        if not draft_dir:
+            raise ValueError(
+                "speculative_decode needs --draft_model_dir (or a "
+                "draft model passed programmatically)")
+        from neurst_tpu.tasks.task import build_task
+        from neurst_tpu.utils import checkpoints as ckpt_lib
+        from neurst_tpu.utils.configurable import (
+            ModelConfigs, strip_training_only_model_flags)
+        from neurst_tpu.utils.param_policy import cast_params_for_inference
+        cfg = ModelConfigs.load(draft_dir)
+        cfg["model.params"] = strip_training_only_model_flags(
+            cfg.get("model.params"))
+        task = build_task(cfg)
+        self._draft_model = task.build_model(cfg)
+        params = self._draft_model.init_params(jax.random.PRNGKey(0))
+        path = ckpt_lib.latest_checkpoint(draft_dir)
+        if path:
+            flat = ckpt_lib.restore_checkpoint_params(path)
+            params, _, _ = ckpt_lib.restore_into(params, flat)
+            logging.info("Restored draft model from %s", path)
+        else:
+            logging.warning("No draft checkpoint in %s; random init.",
+                            draft_dir)
+        self._draft_params = cast_params_for_inference(
+            params, (self._draft_model.args or {}).get("dtype"))
+
+    def __call__(self, params, parsed_inp: dict):
+        a = self._args
+        self._ensure_draft()
+        max_len = a.get("maximum_decode_length") or 256
+        k = a.get("speculative_k") or 4
+        # caches are k longer than the output: a row's k-wide write
+        # window near the end must not clamp (dynamic_update_slice
+        # would shift it onto valid positions)
+        t_fn, t_init = self._model.prepare_speculative(
+            params, parsed_inp, decode_padded_length=max_len + k)
+        d_fn, d_init = self._draft_model.prepare_speculative(
+            self._draft_params, parsed_inp, decode_padded_length=max_len + k)
+        if self._draft_model.trg_meta.get("vocab_size") != \
+                self._model.trg_meta.get("vocab_size"):
+            raise ValueError("draft/target vocabulary sizes differ")
+        return speculative_greedy_decode(
+            t_fn, t_init, d_fn, d_init,
+            speculative_k=a.get("speculative_k") or 4,
+            extra_decode_length=a.get("extra_decode_length") or 50,
+            maximum_decode_length=max_len,
+            minimum_decode_length=a.get("minimum_decode_length") or 0,
+            enable_unk=bool(a.get("enable_unk")))

@@ -178,6 +178,23 @@ class Seq2SeqModule(nn.Module):
         new_cache["layers"] = new_layers
         return logits, new_cache
 
+    def decode_steps(self, ids, cache, times):
+        """Multi-token stepwise decode (speculative verification): row
+        b's tokens ids[b] [k] occupy cache positions times[b] ..
+        times[b]+k-1 -> logits [B, k, V].  Beyond-reference: enables
+        draft-model speculative decoding (layers/search/speculative.py).
+
+        Returns (logits, new_cache)."""
+        emb = self.trg_modality(ids, time=times)  # [B, k, D]
+        dec_out, new_layers = self.decoder(
+            emb, memory=None,
+            memory_padding=cache["memory_padding"],
+            cache=cache["layers"], decode_step=times, is_training=False)
+        logits = self.output_logits(dec_out)
+        new_cache = dict(cache)
+        new_cache["layers"] = new_layers
+        return logits, new_cache
+
 
 @register_model("seq2seq", "encoder_decoder_model")
 class EncoderDecoderModel(BaseModel):
@@ -334,6 +351,36 @@ class EncoderDecoderModel(BaseModel):
             "unk_id": self._trg_meta.get("unk_id"),
         }
         return symbols_to_logits_fn, generation_initializer
+
+    def prepare_speculative(self, params, inputs,
+                            decode_padded_length: int):
+        """Like ``prepare_generation`` but exposes the MULTI-token
+        per-row-time step function for speculative decoding:
+        steps_fn(ids [B, k], cache, times [B]) -> (logits [B, k, V],
+        new_cache).  Beyond-reference."""
+        enc, src_padding = self._module.apply(
+            {"params": params}, inputs=inputs, is_training=False,
+            method=self._module.encode)
+        cache = self._module.apply(
+            {"params": params}, enc, src_padding, decode_padded_length,
+            method=self._module.init_cache)
+
+        def steps_fn(ids, cache, times):
+            return self._module.apply(
+                {"params": params}, ids, cache, times,
+                method=self._module.decode_steps)
+
+        batch = inputs["src"].shape[0]
+        bos = jnp.full([batch], self.bos_id, jnp.int32)
+        src_len = jnp.sum(1.0 - src_padding, axis=1).astype(jnp.int32)
+        generation_initializer = {
+            "decoder_input": bos,
+            "decoder_internal_cache": cache,
+            "encoder_inputs_maxlen": jnp.max(src_len),
+            "eos_id": self._trg_meta["eos_id"],
+            "unk_id": self._trg_meta.get("unk_id"),
+        }
+        return steps_fn, generation_initializer
 
     @property
     def bos_id(self):

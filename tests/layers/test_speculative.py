@@ -1,0 +1,136 @@
+"""Speculative decoding (layers/search/speculative.py): greedy-EXACT
+draft-accelerated decode.  Pins (a) the multi-token per-row-time step
+function against sequential single steps, and (b) the speculative
+output against the plain greedy decode (sampling with top_k=1) with a
+same-weights draft (always accepts) AND an independently-initialized
+draft (partial acceptance exercises the rewind/correction path)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+META = {"vocab_size": 20, "eos_id": 19, "bos_id": 19, "unk_id": 18}
+
+
+def _model(seed_label="x", layers=2):
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.models.transformer import Transformer
+    cfg = dict(Transformer.build_model_args_by_name(
+        "transformer_toy")["model.params"])
+    cfg["dtype"] = "float32"
+    cfg["encoder.num_layers"] = layers
+    cfg["decoder.num_layers"] = layers
+    for prefix in ("encoder", "decoder"):
+        cfg[f"{prefix}.attention_dropout_rate"] = 0.0
+        cfg[f"{prefix}.ffn_dropout_rate"] = 0.0
+        cfg[f"{prefix}.layer_postprocess_dropout_rate"] = 0.0
+    return build_model({"model.class": "transformer", "model.params": cfg},
+                       src_meta=META, trg_meta=META)
+
+
+def _inputs(batch=3):
+    rng = np.random.RandomState(0)
+    src = np.concatenate(
+        [rng.randint(4, 18, size=[batch, 5]),
+         np.full([batch, 1], META["eos_id"])], axis=1).astype(np.int32)
+    return {"src": src,
+            "src_padding": np.zeros([batch, 6], np.float32),
+            "trg_input": np.full([batch], META["bos_id"], np.int32)}
+
+
+def _truncate_at_eos(ids):
+    """Canonical comparison form: tokens up to and incl. first EOS."""
+    out = []
+    for row in np.asarray(ids):
+        row = list(row)
+        cut = row.index(META["eos_id"]) + 1 if META["eos_id"] in row \
+            else len(row)
+        out.append(tuple(row[:cut]))
+    return out
+
+
+def test_decode_steps_match_sequential_single_steps():
+    model = _model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    inputs = _inputs()
+    s2l, init = model.prepare_generation(params, inputs,
+                                         decode_padded_length=8)
+    steps_fn, init2 = model.prepare_speculative(params, inputs,
+                                                decode_padded_length=8)
+    tokens = np.array([[19, 3, 4], [19, 5, 6], [19, 7, 8]], np.int32)
+
+    # sequential singles
+    cache = init["decoder_internal_cache"]
+    seq_logits = []
+    for t in range(3):
+        lg, cache = s2l(jnp.asarray(tokens[:, t]), cache,
+                        jnp.asarray(t, jnp.int32))
+        seq_logits.append(np.asarray(lg))
+    seq_logits = np.stack(seq_logits, axis=1)  # [B, 3, V]
+
+    # one multi-token call at per-row times 0
+    multi_logits, _ = steps_fn(
+        jnp.asarray(tokens), init2["decoder_internal_cache"],
+        jnp.zeros([3], jnp.int32))
+    np.testing.assert_allclose(np.asarray(multi_logits), seq_logits,
+                               rtol=0, atol=1e-4)
+
+    # and with per-row STAGGERED times: rows advanced to depth 1 and 2
+    # via single steps first must agree with a shifted multi call
+    cache = init["decoder_internal_cache"]
+    _, cache = s2l(jnp.asarray(tokens[:, 0]), cache,
+                   jnp.asarray(0, jnp.int32))
+    lg_ref, _ = s2l(jnp.asarray(tokens[:, 1]), cache,
+                    jnp.asarray(1, jnp.int32))
+    lg_vec, _ = steps_fn(jnp.asarray(tokens[:, 1:2]), cache,
+                         jnp.ones([3], jnp.int32))
+    np.testing.assert_allclose(np.asarray(lg_vec[:, 0]),
+                               np.asarray(lg_ref), rtol=0, atol=1e-4)
+
+
+@pytest.mark.parametrize("draft_kind", ["same", "different"])
+def test_speculative_equals_plain_greedy(draft_kind):
+    from neurst_tpu.layers.search.sampling import sequence_sampling
+    from neurst_tpu.layers.search.speculative import \
+        speculative_greedy_decode
+
+    target = _model(layers=2)
+    params_t = target.init_params(jax.random.PRNGKey(1))
+    if draft_kind == "same":
+        draft, params_d = target, params_t
+    else:
+        draft = _model(layers=1)
+        params_d = draft.init_params(jax.random.PRNGKey(9))
+    inputs = _inputs()
+    max_len = 14
+
+    # plain greedy baseline: sampling with top_k=1 IS argmax decode
+    s2l, init = target.prepare_generation(params_t, inputs,
+                                          decode_padded_length=max_len)
+    ids_ref, lp_ref = sequence_sampling(
+        s2l, init, jax.random.PRNGKey(0), top_k=1,
+        maximum_decode_length=max_len, extra_decode_length=max_len)
+
+    t_fn, t_init = target.prepare_speculative(
+        params_t, inputs, decode_padded_length=max_len + 3)
+    d_fn, d_init = draft.prepare_speculative(
+        params_d, inputs, decode_padded_length=max_len + 3)
+    ids_spec, lp_spec = speculative_greedy_decode(
+        t_fn, t_init, d_fn, d_init, speculative_k=3,
+        maximum_decode_length=max_len, extra_decode_length=max_len)
+
+    assert _truncate_at_eos(ids_spec) == _truncate_at_eos(ids_ref)
+    np.testing.assert_allclose(np.asarray(lp_spec), np.asarray(lp_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_speculative_search_layer_registered():
+    from neurst_tpu.layers.search.sequence_search import build_search_layer
+    layer = build_search_layer({
+        "search_method.class": "speculative_decode",
+        "search_method.params": {"speculative_k": 2}})
+    assert type(layer).__name__ == "SpeculativeDecode"
+    with pytest.raises(ValueError):
+        layer._ensure_draft()  # no draft_model_dir configured
