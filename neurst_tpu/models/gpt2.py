@@ -87,6 +87,15 @@ class GPT2Module(nn.Module):
         logits = self.trg_modality.attend(out[:, 0, :])
         return logits, {"layers": new_layers}
 
+    def decode_steps(self, ids, cache, times):
+        """Multi-token per-row-time decode (speculative verification):
+        ids [B, k] at positions times[b]..times[b]+k-1 -> [B, k, V]."""
+        emb = self.trg_modality(ids, time=times)
+        out, new_layers = self.decoder(
+            emb, cache=cache["layers"], decode_step=times,
+            is_training=False)
+        return self.trg_modality.attend(out), {"layers": new_layers}
+
 
 @register_model("gpt2")
 class GPT2(BaseModel):
@@ -206,6 +215,42 @@ class GPT2(BaseModel):
             "unk_id": self._trg_meta.get("unk_id"),
         }
         return symbols_to_logits_fn, generation_initializer
+
+    def prepare_speculative(self, params, inputs, decode_padded_length):
+        """Multi-token per-row-time step closure for speculative
+        decoding of the LM (prompt prefill shifts cache positions)."""
+        prompt = jnp.asarray(inputs["trg_input"])
+        if prompt.ndim == 1:
+            prompt = prompt[:, None]
+        batch, prompt_len = prompt.shape
+        prefill = prompt_len - 1
+        cache = self._module.apply(
+            {"params": params}, batch, decode_padded_length + prefill,
+            method=self._module.init_cache)
+
+        def step_fn(t, carry):
+            cache = carry
+            _, cache = self._module.apply(
+                {"params": params}, prompt[:, t], cache, t,
+                method=self._module.decode_step)
+            return cache
+        if prefill > 0:
+            cache = jax.lax.fori_loop(0, prefill, step_fn, cache)
+
+        def steps_fn(ids, cache, times):
+            return self._module.apply(
+                {"params": params}, ids, cache, times + prefill,
+                method=self._module.decode_steps)
+
+        generation_initializer = {
+            "decoder_input": prompt[:, -1],
+            "decoder_internal_cache": cache,
+            "decode_time_offset": prefill,
+            "encoder_inputs_maxlen": None,
+            "eos_id": self._trg_meta["eos_id"],
+            "unk_id": self._trg_meta.get("unk_id"),
+        }
+        return steps_fn, generation_initializer
 
 
 register_hparams_set("gpt2_117m")(

@@ -126,6 +126,51 @@ def test_speculative_equals_plain_greedy(draft_kind):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("draft_kind", ["same", "different"])
+def test_gpt2_speculative_equals_plain_greedy(draft_kind):
+    """LM speculative decoding: the prompt prefill shifts every cache
+    position (decode_time_offset); output equals plain LM greedy."""
+    from neurst_tpu.layers.search.sampling import sequence_sampling
+    from neurst_tpu.layers.search.speculative import \
+        speculative_greedy_decode
+    from neurst_tpu.models.gpt2 import GPT2
+    from neurst_tpu.models.model import build_model
+
+    def lm(seed):
+        cfg = GPT2.build_model_args_by_name("gpt2_toy")
+        params_cfg = dict(cfg["model.params"])
+        params_cfg["dropout_rate"] = 0.0
+        params_cfg["dtype"] = "float32"
+        model = build_model(dict(cfg, **{"model.params": params_cfg}),
+                            src_meta=META, trg_meta=META)
+        return model, model.init_params(jax.random.PRNGKey(seed))
+
+    target, params_t = lm(0)
+    if draft_kind == "same":
+        draft, params_d = target, params_t
+    else:
+        draft, params_d = lm(11)
+    prompt = {"trg_input": np.array([[5, 6, 7], [8, 9, 10]], np.int32)}
+    max_len = 10
+
+    s2l, init = target.prepare_generation(params_t, prompt,
+                                          decode_padded_length=max_len)
+    ids_ref, lp_ref = sequence_sampling(
+        s2l, init, jax.random.PRNGKey(0), top_k=1,
+        maximum_decode_length=max_len, extra_decode_length=max_len)
+
+    t_fn, t_init = target.prepare_speculative(
+        params_t, prompt, decode_padded_length=max_len + 3)
+    d_fn, d_init = draft.prepare_speculative(
+        params_d, prompt, decode_padded_length=max_len + 3)
+    ids_spec, lp_spec = speculative_greedy_decode(
+        t_fn, t_init, d_fn, d_init, speculative_k=3,
+        maximum_decode_length=max_len, extra_decode_length=max_len)
+    assert _truncate_at_eos(ids_spec) == _truncate_at_eos(ids_ref)
+    np.testing.assert_allclose(np.asarray(lp_spec), np.asarray(lp_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_speculative_search_layer_registered():
     from neurst_tpu.layers.search.sequence_search import build_search_layer
     layer = build_search_layer({
