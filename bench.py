@@ -344,7 +344,36 @@ def bench_train(jax, bf16_params=False):
     return tokens_per_sec, elapsed, mfu
 
 
+def _probe_devices(timeout_s=180):
+    """The axon TPU tunnel can hang indefinitely when down; a hung
+    bench is worse than a failed one.  Probe jax.devices() in a
+    daemon thread and fail fast with an honest JSON error line."""
+    import threading
+    result = {}
+
+    def probe():
+        try:
+            import jax
+            result["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # noqa: BLE001
+            result["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in result:
+        return
+    print(json.dumps({
+        "metric": "st_beam4_decode_utterances_per_sec_per_chip",
+        "value": None, "unit": "utt/s", "vs_baseline": None,
+        "error": result.get(
+            "error", f"device init exceeded {timeout_s}s (TPU tunnel "
+                     "unreachable); no measurement taken")}))
+    raise SystemExit(1)
+
+
 def main():
+    _probe_devices()
     import jax
 
     utt_per_sec, rtf, decode_configs = bench_decode(jax)
