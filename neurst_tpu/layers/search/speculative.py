@@ -50,8 +50,14 @@ def speculative_greedy_decode(target_steps_fn, target_init,
                               extra_decode_length: int = 50,
                               maximum_decode_length: int = 256,
                               minimum_decode_length: int = 0,
-                              enable_unk: bool = False):
-    """Greedy decode of the target model, accelerated by a draft model.
+                              enable_unk: bool = False,
+                              sampling: bool = False,
+                              rng=None,
+                              temperature: float = 1.0,
+                              top_k: int = 0,
+                              top_p: float = 1.0):
+    """Greedy (or sampling) decode of the target model, accelerated by
+    a draft model.
 
     Args:
         target_steps_fn / draft_steps_fn: fn(ids [B, k], cache,
@@ -61,14 +67,26 @@ def speculative_greedy_decode(target_steps_fn, target_init,
             caches are independent; eos/bos/unk come from the target).
         speculative_k: draft tokens proposed (and verified) per
             iteration; up to k tokens commit per target forward pass.
+        sampling: distribution-preserving speculative SAMPLING
+            (Leviathan et al./Chen et al. acceptance-rejection): draft
+            tokens are sampled from the draft's (filtered) distribution
+            q, accepted with probability min(1, p/q) against the
+            target's (filtered) distribution p, and the first rejected
+            slot is resampled from the residual norm(max(p - q, 0)) —
+            every emitted token is distributed EXACTLY as plain
+            sampling from the target (statistically pinned by test).
+            ``temperature``/``top_k``/``top_p`` define p the same way
+            the plain sampling search does.
 
     Returns:
         (hypotheses int32 [B, maximum_decode_length], scores float32
          [B] — cumulative target log-prob of the emitted tokens, same
-         semantics as sampling with top_k=1).
+         semantics as the plain searches).
     """
     k = int(speculative_k)
     assert k >= 1
+    if sampling and rng is None:
+        rng = jax.random.PRNGKey(0)
     eos_id = int(target_init["eos_id"])
     unk_id = target_init.get("unk_id")
     if enable_unk:
@@ -87,9 +105,12 @@ def speculative_greedy_decode(target_steps_fn, target_init,
 
     def masked_log_probs(logits, emit_index):
         """Target/draft token distribution at an emission index, with
-        the same UNK/min-length masking as the plain searches
-        (sampling.py): emit_index [B] or [B, k]."""
-        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        the same temperature/UNK/min-length handling as the plain
+        searches (sampling.py): emit_index [B] or [B, k]."""
+        logits = logits.astype(jnp.float32)
+        if sampling and temperature and temperature != 1.0:
+            logits = logits / temperature
+        lp = jax.nn.log_softmax(logits, axis=-1)
         vocab = lp.shape[-1]
         if unk_id is not None:
             lp = lp + jnp.where(jnp.arange(vocab) == unk_id,
@@ -100,6 +121,16 @@ def speculative_greedy_decode(target_steps_fn, target_init,
                 (emit_index < minimum_decode_length - 1)[..., None],
                 eos_mask, 0.0)
         return lp
+
+    def filtered(lp):
+        """The distribution plain sampling actually draws from."""
+        from neurst_tpu.layers.search.sampling import (_filter_top_k,
+                                                       _filter_top_p)
+        if top_k and top_k > 0:
+            lp = _filter_top_k(lp, top_k)
+        if top_p and top_p < 1.0:
+            lp = _filter_top_p(lp, top_p)
+        return jax.nn.log_softmax(lp, axis=-1)
 
     # predicted buffer is k longer than the output: each iteration
     # writes a full k-window at the row's time offset and the tail junk
@@ -113,22 +144,37 @@ def speculative_greedy_decode(target_steps_fn, target_init,
         target_cache=target_init["decoder_internal_cache"],
         draft_cache=draft_init["decoder_internal_cache"],
     )
+    if sampling:
+        init_state["rng"] = rng
 
     def cond_fn(state):
         return jnp.logical_not(jnp.all(state["finished"]))
 
     def body_fn(state):
         times = state["times"]
+        if sampling:
+            iter_rng, next_rng = jax.random.split(state["rng"])
+            draft_rngs = jax.random.split(
+                jax.random.fold_in(iter_rng, 0), k)
+            accept_rng = jax.random.fold_in(iter_rng, 1)
+            correct_rng = jax.random.fold_in(iter_rng, 2)
 
         # ---- draft: propose k tokens autoregressively ---- #
         draft_cache = state["draft_cache"]
         d_tokens = []
+        q_rows = []
         last_d = state["last"]
         for j in range(k):
             logits_d, draft_cache = draft_steps_fn(
                 last_d[:, None], draft_cache, times + j)
             lp_d = masked_log_probs(logits_d[:, 0], times + j)
-            last_d = jnp.argmax(lp_d, axis=-1).astype(jnp.int32)
+            if sampling:
+                qlp = filtered(lp_d)
+                last_d = jax.random.categorical(
+                    draft_rngs[j], qlp, axis=-1).astype(jnp.int32)
+                q_rows.append(qlp)
+            else:
+                last_d = jnp.argmax(lp_d, axis=-1).astype(jnp.int32)
             d_tokens.append(last_d)
         d = jnp.stack(d_tokens, axis=1)  # [B, k]
 
@@ -139,18 +185,56 @@ def speculative_greedy_decode(target_steps_fn, target_init,
             inp, state["target_cache"], times)
         emit_index = times[:, None] + jnp.arange(k)  # [B, k]
         lp_t = masked_log_probs(logits_t, emit_index)
-        g = jnp.argmax(lp_t, axis=-1).astype(jnp.int32)  # [B, k]
 
-        # longest agreeing prefix n, then commit m = min(n+1, k)
-        # tokens: n accepted drafts (== g) plus the target's own next
-        # token as the correction when n < k
-        agree = jnp.cumprod((d == g).astype(jnp.int32), axis=1)
-        n = jnp.sum(agree, axis=1)
+        if sampling:
+            # acceptance-rejection: accept d_j with prob min(1, p/q);
+            # the first rejected slot resamples from the residual
+            # norm(max(p - q, 0)) — together exactly the target
+            # distribution
+            plp = filtered(lp_t)                 # [B, k, V]
+            qlp_all = jnp.stack(q_rows, axis=1)  # [B, k, V]
+            p_at_d = jnp.take_along_axis(plp, d[..., None],
+                                         axis=-1)[..., 0]
+            q_at_d = jnp.take_along_axis(qlp_all, d[..., None],
+                                         axis=-1)[..., 0]
+            u = jax.random.uniform(accept_rng, p_at_d.shape,
+                                   minval=1e-20)
+            accept = jnp.log(u) < (p_at_d - q_at_d)
+            n = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1),
+                        axis=1)
+            # residual at the first rejected slot (per-row gather);
+            # rows with n == k never use the correction
+            reject_slot = jnp.minimum(n, k - 1)
+            plp_r = jnp.take_along_axis(
+                plp, reject_slot[:, None, None], axis=1)[:, 0]
+            qlp_r = jnp.take_along_axis(
+                qlp_all, reject_slot[:, None, None], axis=1)[:, 0]
+            residual = jnp.maximum(jnp.exp(plp_r) - jnp.exp(qlp_r), 0.0)
+            total = jnp.sum(residual, axis=-1, keepdims=True)
+            # numerical guard: p ~= q makes rejection measure ~0 (the
+            # path is then (almost) never taken); fall back to p
+            res_lp = jnp.where(total > 0.0,
+                               jnp.log(jnp.maximum(residual, 1e-38)
+                                       / jnp.maximum(total, 1e-38)),
+                               plp_r)
+            correction = jax.random.categorical(
+                correct_rng, res_lp, axis=-1).astype(jnp.int32)
+            slot_idx = jnp.arange(k)[None, :]
+            g_commit = jnp.where(slot_idx == n[:, None],
+                                 correction[:, None], d)
+        else:
+            g = jnp.argmax(lp_t, axis=-1).astype(jnp.int32)  # [B, k]
+            # longest agreeing prefix n, then commit m = min(n+1, k)
+            # tokens: n accepted drafts (== g) plus the target's own
+            # next token as the correction when n < k
+            agree = jnp.cumprod((d == g).astype(jnp.int32), axis=1)
+            n = jnp.sum(agree, axis=1)
+            g_commit = g
         m = jnp.minimum(n + 1, k)
 
         # EOS inside the committed window truncates it (inclusive)
         slot = jnp.arange(k)[None, :]
-        is_eos = jnp.logical_and(g == eos_id, slot < m[:, None])
+        is_eos = jnp.logical_and(g_commit == eos_id, slot < m[:, None])
         first_eos = jnp.min(jnp.where(is_eos, slot, k), axis=1)
         hit_eos = first_eos < k
         m = jnp.where(hit_eos, first_eos + 1, m)
@@ -166,18 +250,19 @@ def speculative_greedy_decode(target_steps_fn, target_init,
         # commit: write the k-window, advance per-row state
         def write(row, vals, t):
             return jax.lax.dynamic_update_slice(row, vals, (t,))
-        predicted = jax.vmap(write)(state["predicted"], g, times)
+        predicted = jax.vmap(write)(state["predicted"], g_commit, times)
         committed = slot < m[:, None]
-        step_lp = jnp.take_along_axis(lp_t, g[..., None], axis=-1)[..., 0]
+        step_lp = jnp.take_along_axis(lp_t, g_commit[..., None],
+                                      axis=-1)[..., 0]
         log_probs = state["log_probs"] + jnp.sum(
             jnp.where(committed, step_lp, 0.0), axis=1)
         last = jnp.where(
             m > 0,
             jnp.take_along_axis(
-                g, jnp.maximum(m - 1, 0)[:, None], axis=1)[:, 0],
+                g_commit, jnp.maximum(m - 1, 0)[:, None], axis=1)[:, 0],
             state["last"])
 
-        return dict(
+        out = dict(
             times=times + m,
             last=last.astype(jnp.int32),
             finished=new_finished,
@@ -186,6 +271,9 @@ def speculative_greedy_decode(target_steps_fn, target_init,
             target_cache=target_cache,
             draft_cache=draft_cache,
         )
+        if sampling:
+            out["rng"] = next_rng
+        return out
 
     final = jax.lax.while_loop(cond_fn, body_fn, init_state)
     # clean the junk tail beyond each row's final length (EOS fill,
@@ -212,6 +300,18 @@ class SpeculativeDecode(SequenceSearch):
             Flag("speculative_k", dtype=Flag.TYPE.INTEGER, default=4,
                  help="Draft tokens proposed (and verified in one "
                       "target pass) per iteration."),
+            Flag("sampling", dtype=Flag.TYPE.BOOLEAN, default=False,
+                 help="Distribution-preserving speculative SAMPLING "
+                      "(accept-with-min(1,p/q), residual resample) "
+                      "instead of greedy verification."),
+            Flag("temperature", dtype=Flag.TYPE.FLOAT, default=1.0,
+                 help="Softmax temperature (sampling mode)."),
+            Flag("top_k", dtype=Flag.TYPE.INTEGER, default=0,
+                 help="Sample from the top-k tokens (sampling mode)."),
+            Flag("top_p", dtype=Flag.TYPE.FLOAT, default=1.0,
+                 help="Nucleus mass (sampling mode)."),
+            Flag("seed", dtype=Flag.TYPE.INTEGER, default=0,
+                 help="The sampling random seed."),
             Flag("maximum_decode_length", dtype=Flag.TYPE.INTEGER,
                  default=256, help="The maximum decoding length."),
             Flag("minimum_decode_length", dtype=Flag.TYPE.INTEGER, default=0,
@@ -262,7 +362,7 @@ class SpeculativeDecode(SequenceSearch):
         self._draft_params = cast_params_for_inference(
             params, (self._draft_model.args or {}).get("dtype"))
 
-    def __call__(self, params, parsed_inp: dict):
+    def __call__(self, params, parsed_inp: dict, rng=None):
         a = self._args
         self._ensure_draft()
         max_len = a.get("maximum_decode_length") or 256
@@ -277,10 +377,17 @@ class SpeculativeDecode(SequenceSearch):
         if self._draft_model.trg_meta.get("vocab_size") != \
                 self._model.trg_meta.get("vocab_size"):
             raise ValueError("draft/target vocabulary sizes differ")
+        if rng is None:
+            rng = jax.random.PRNGKey(a.get("seed") or 0)
         return speculative_greedy_decode(
             t_fn, t_init, d_fn, d_init,
             speculative_k=a.get("speculative_k") or 4,
             extra_decode_length=a.get("extra_decode_length") or 50,
             maximum_decode_length=max_len,
             minimum_decode_length=a.get("minimum_decode_length") or 0,
-            enable_unk=bool(a.get("enable_unk")))
+            enable_unk=bool(a.get("enable_unk")),
+            sampling=bool(a.get("sampling")),
+            rng=rng,
+            temperature=a.get("temperature") or 1.0,
+            top_k=a.get("top_k") or 0,
+            top_p=a.get("top_p") or 1.0)

@@ -171,6 +171,63 @@ def test_gpt2_speculative_equals_plain_greedy(draft_kind):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_speculative_sampling_preserves_target_distribution():
+    """Acceptance-rejection speculative sampling: the first emitted
+    token's empirical distribution over many rows matches the target's
+    (masked) softmax — with an INDEPENDENT draft, so rejections and
+    residual resampling genuinely happen (seeded; ~4-sigma bounds)."""
+    from neurst_tpu.layers.search.speculative import \
+        speculative_greedy_decode
+
+    target = _model(layers=2)
+    params_t = target.init_params(jax.random.PRNGKey(1))
+    draft = _model(layers=1)
+    params_d = draft.init_params(jax.random.PRNGKey(9))
+
+    n_rows = 3000
+    one = _inputs(batch=1)
+    inputs = {k: np.repeat(v, n_rows, axis=0) for k, v in one.items()}
+
+    t_fn, t_init = target.prepare_speculative(
+        params_t, inputs, decode_padded_length=4)
+    d_fn, d_init = draft.prepare_speculative(
+        params_d, inputs, decode_padded_length=4)
+    ids, _ = speculative_greedy_decode(
+        t_fn, t_init, d_fn, d_init, speculative_k=2,
+        maximum_decode_length=1, extra_decode_length=1,
+        sampling=True, rng=jax.random.PRNGKey(123))
+    first = np.asarray(ids)[:, 0]
+
+    # the target's true first-token distribution (same masking: UNK
+    # banned, full softmax otherwise)
+    s2l, init = target.prepare_generation(params_t, one,
+                                          decode_padded_length=4)
+    logits, _ = s2l(jnp.asarray([META["bos_id"]], jnp.int32),
+                    init["decoder_internal_cache"],
+                    jnp.asarray(0, jnp.int32))
+    lp = jax.nn.log_softmax(np.asarray(logits, np.float32))
+    p = np.exp(np.asarray(lp))[0]
+    p[META["unk_id"]] = 0.0
+    p = p / p.sum()
+
+    freq = np.bincount(first, minlength=META["vocab_size"]
+                       ).astype(np.float64) / n_rows
+    sigma = np.sqrt(np.maximum(p * (1 - p), 1e-9) / n_rows)
+    assert np.all(np.abs(freq - p) < 4.5 * sigma + 5e-3), \
+        np.max(np.abs(freq - p) / (sigma + 1e-9))
+    assert 0.5 * np.sum(np.abs(freq - p)) < 0.05  # total variation
+
+    # multi-step smoke: terminates, tokens in-vocab, UNK never emitted
+    ids8, _ = speculative_greedy_decode(
+        t_fn, t_init, d_fn, d_init, speculative_k=3,
+        maximum_decode_length=8, extra_decode_length=8,
+        sampling=True, top_k=5, rng=jax.random.PRNGKey(7))
+    ids8 = np.asarray(ids8)
+    assert ids8.shape == (n_rows, 8)
+    assert ids8.min() >= 0 and ids8.max() < META["vocab_size"]
+    assert not np.any(ids8 == META["unk_id"])
+
+
 def test_speculative_search_layer_registered():
     from neurst_tpu.layers.search.sequence_search import build_search_layer
     layer = build_search_layer({
