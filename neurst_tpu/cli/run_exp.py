@@ -182,15 +182,21 @@ def run_experiment(args):
         _entry = get_registered_class(args.get("entry.class"), "entry")
         if isinstance(_entry, type) and issubclass(_entry, _Trainer):
             raise ValueError("--int8_serving is inference-only")
+        qat_bits = 8
         if quant_enabled():
             # QAT checkpoint: serve real int8 instead of fake-quant —
             # the learned *_clip_max vars drive the int8 ranges at
-            # restore; activation fake-quant is dropped (weight-only)
+            # restore (on the grid the checkpoint trained with);
+            # activation fake-quant is dropped (weight-only)
+            from neurst_tpu.layers.quantization.quant_layers import \
+                get_global_config
+            qat_bits = int(get_global_config().get("quant_bits") or 8)
             logging.info("int8_serving of a QAT checkpoint: learned "
-                         "clip ranges drive the int8 scales; "
-                         "activation fake-quant is dropped")
+                         "clip ranges drive the int8 scales "
+                         "(quant_bits=%d); activation fake-quant is "
+                         "dropped", qat_bits)
             global_init(False)
-        set_int8_serving(True)
+        set_int8_serving(True, qat_bits=qat_bits)
     task = build_task(args)
     custom_dataset = build_dataset(args) if args.get("dataset.class") \
         else None

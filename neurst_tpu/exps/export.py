@@ -82,12 +82,12 @@ class GenerationExporter(BaseExperiment):
         path = ckpt_lib.latest_checkpoint(self._model_dir)
         if path:
             flat = ckpt_lib.restore_checkpoint_params(path)
-            params, _, _ = ckpt_lib.restore_into(params, flat)
-        # bf16-at-rest weights inside the exported artifact: bitwise
-        # identical serving outputs, half the artifact/HBM bytes
-        from neurst_tpu.utils.param_policy import cast_params_for_inference
-        params = cast_params_for_inference(
-            params, (model.args or {}).get("dtype"))
+            # bf16-at-rest (and int8 under --int8_serving) weights
+            # inside the exported artifact: identical serving outputs,
+            # half/quarter the artifact/HBM bytes
+            from neurst_tpu.utils.param_policy import \
+                restore_inference_params
+            params, _ = restore_inference_params(model, params, flat)
         search = build_search_layer(args)
         search.set_model(model)
 

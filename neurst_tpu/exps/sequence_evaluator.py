@@ -52,10 +52,9 @@ class SequenceEvaluator(BaseExperiment):
             ckpt_lib.latest_checkpoint(self._model_dir)
         if path:
             flat = ckpt_lib.restore_checkpoint_params(path)
-            params, _, _ = ckpt_lib.restore_into(params, flat)
-        from neurst_tpu.utils.param_policy import cast_params_for_inference
-        params = cast_params_for_inference(
-            params, (self._model.args or {}).get("dtype"))
+            from neurst_tpu.utils.param_policy import \
+                restore_inference_params
+            params, _ = restore_inference_params(self._model, params, flat)
         eval_step = jax.jit(make_eval_step(self._model, criterion))
         batch_iter = self._task.create_batch_iterator(
             self._custom_dataset, ModeKeys.EVAL, args)

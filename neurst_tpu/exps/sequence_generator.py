@@ -74,18 +74,10 @@ class SequenceGenerator(BaseExperiment):
             logging.warning("No checkpoint found; using random init.")
             return params
         flat = ckpt_lib.restore_checkpoint_params(path)
-        from neurst_tpu.layers.quantization.quant_layers import \
-            int8_serving_enabled, int8ify_flat_params
-        if int8_serving_enabled():
-            flat = int8ify_flat_params(
-                flat, ckpt_lib.flatten_params(params))
-            logging.info("Quantized dense kernels to int8 "
-                         "(weight-only, absmax per output channel)")
-        params, _, missing = ckpt_lib.restore_into(params, flat)
+        from neurst_tpu.utils.param_policy import restore_inference_params
+        params, _ = restore_inference_params(self._model, params, flat)
         logging.info("Restored generation model from %s", path)
-        from neurst_tpu.utils.param_policy import cast_params_for_inference
-        return cast_params_for_inference(
-            params, (self._model.args or {}).get("dtype"))
+        return params
 
     def _dp_placement(self, params):
         """Scale-out decode placement (the reference's predict is
@@ -97,12 +89,18 @@ class SequenceGenerator(BaseExperiment):
         models too large for one chip's HBM."""
         import jax as _jax
         tp = int(self._args.get("decode_tensor_parallel") or 1)
-        if _jax.device_count() <= 1 or (
-                tp <= 1 and self._args.get("decode_data_parallel") is False):
+        dp_off = self._args.get("decode_data_parallel") is False
+        if _jax.device_count() <= 1 or (tp <= 1 and dp_off):
             return None, params
         from neurst_tpu.parallel.mesh import (make_mesh, params_shardings,
                                               replicated)
-        mesh = make_mesh(model_parallel=max(tp, 1))
+        if tp > 1 and dp_off:
+            # honor --decode_data_parallel false: tp-only mesh over the
+            # first tp devices (batches stay whole on the size-1 axis)
+            mesh = make_mesh(data_parallel=1, model_parallel=tp,
+                             devices=_jax.devices()[:tp])
+        else:
+            mesh = make_mesh(model_parallel=max(tp, 1))
         if tp > 1 and params is not None:
             shardings = params_shardings(
                 mesh, self._model.params_spec(), params)
@@ -185,14 +183,14 @@ class SequenceGenerator(BaseExperiment):
             model = task.build_model(cfg)
             params = model.init_params(jax.random.PRNGKey(0))
             path = ckpt_lib.latest_checkpoint(d)
+            from neurst_tpu.utils.param_policy import \
+                restore_inference_params
             if path:
                 flat = ckpt_lib.restore_checkpoint_params(path)
-                params, _, _ = ckpt_lib.restore_into(params, flat)
+                params, _ = restore_inference_params(model, params, flat)
                 logging.info("Restored ensemble member from %s", path)
-            from neurst_tpu.utils.param_policy import \
-                cast_params_for_inference
-            params = cast_params_for_inference(
-                params, (model.args or {}).get("dtype"))
+            else:
+                params, _ = restore_inference_params(model, params, {})
             models.append(model)
             params_list.append(params)
         weights = (self._args.get("ensemble_weights")

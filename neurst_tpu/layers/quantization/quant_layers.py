@@ -207,10 +207,10 @@ def dense_general(features, axis=-1, use_bias=True, activation=None,
         name=name)
 
 
-_INT8_SERVING = {"on": False}
+_INT8_SERVING = {"on": False, "qat_bits": 8}
 
 
-def set_int8_serving(on: bool):
+def set_int8_serving(on: bool, qat_bits: int = 8):
     """Enables int8 weight-only serving: every ``dense_general`` site
     builds an ``Int8DenseGeneral`` (int8-stored kernels, dequantized
     per output channel after the matmul).  Must be set before the model
@@ -230,6 +230,9 @@ def set_int8_serving(on: bool):
             "construction off first (global_init(False)) — the "
             "checkpoint's learned clips still drive the int8 ranges")
     _INT8_SERVING["on"] = bool(on)
+    # the QAT grid the checkpoint was trained with: levels are
+    # multiples of clip / (2^(bits-1) - 1) in [-2^(bits-1), 2^(bits-1)-1]
+    _INT8_SERVING["qat_bits"] = int(qat_bits)
 
 
 def int8_serving_enabled() -> bool:
@@ -314,10 +317,17 @@ def int8ify_flat_params(flat: dict, template_flat: dict) -> dict:
         n_scale_dims = len(np.shape(template_flat[scale_name]))
         clip = flat.get(base + "_clip_max")
         if clip is not None and name.endswith("/kernel_q"):
-            # learned QAT clip -> per-tensor scale; levels [-128, 127]
-            # reproduce the fake-quant grid exactly
-            scale_val = max(float(np.asarray(clip)), 1e-9) / 127.0
-            q = np.clip(np.round(w / scale_val), -128, 127).astype(np.int8)
+            # learned QAT clip -> per-tensor scale on the grid the
+            # checkpoint trained with: step clip/(2^(b-1)-1), levels
+            # [-2^(b-1), 2^(b-1)-1] (fits int8 for b <= 8)
+            b = int(_INT8_SERVING["qat_bits"])
+            if b > 8:
+                raise ValueError(
+                    f"QAT quant_bits={b} does not fit int8 serving")
+            half = 2 ** (b - 1)
+            scale_val = max(float(np.asarray(clip)), 1e-9) / (half - 1.0)
+            q = np.clip(np.round(w / scale_val), -half,
+                        half - 1).astype(np.int8)
             out.pop(base, None)
             out.pop(base + "_clip_max", None)
             out[name] = q

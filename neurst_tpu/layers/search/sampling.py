@@ -30,6 +30,28 @@ from neurst_tpu.utils.flags_core import Flag
 __all__ = ["sequence_sampling", "TopSampling"]
 
 
+def masked_step_log_probs(logits, emit_index, eos_id, unk_id,
+                          temperature, minimum_decode_length):
+    """Temperature + UNK + min-length masked log-probs — THE target
+    distribution definition, shared by plain sampling and speculative
+    decoding (speculative's distribution-preservation guarantee
+    requires both to apply identical masking, so keep this the single
+    source of truth).  ``emit_index``: scalar, [B] or [B, k] emission
+    indices (0-based output position) for the min-length mask."""
+    logits = logits.astype(jnp.float32)
+    if temperature and temperature != 1.0:
+        logits = logits / temperature
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    vocab = lp.shape[-1]
+    if unk_id is not None:
+        lp = lp + jnp.where(jnp.arange(vocab) == unk_id, NEG_INF, 0.0)
+    if minimum_decode_length > 0:
+        eos_mask = jnp.where(jnp.arange(vocab) == eos_id, NEG_INF, 0.0)
+        cond = jnp.asarray(emit_index < minimum_decode_length - 1)
+        lp = lp + jnp.where(cond[..., None], eos_mask, 0.0)
+    return lp
+
+
 def _filter_top_k(log_probs, k):
     """Keeps the k largest entries; masks the rest with -inf."""
     vals, _ = jax.lax.top_k(log_probs, k)
@@ -105,19 +127,9 @@ def sequence_sampling(symbols_to_logits_fn, generation_initializer, rng,
         time = state["time"]
         logits, new_cache = symbols_to_logits_fn(
             state["input_ids"], state["cache"], time)
-        vocab_size = logits.shape[-1]
-        logits = logits.astype(jnp.float32)
-        if temperature and temperature != 1.0:
-            logits = logits / temperature
-        log_probs = jax.nn.log_softmax(logits, axis=-1)
-        if unk_id is not None:
-            log_probs += jnp.where(jnp.arange(vocab_size) == unk_id,
-                                   NEG_INF, 0.0)[None, :]
-        if minimum_decode_length > 0:
-            eos_mask = jnp.where(jnp.arange(vocab_size) == eos_id,
-                                 NEG_INF, 0.0)[None, :]
-            log_probs = jnp.where(time < minimum_decode_length - 1,
-                                  log_probs + eos_mask, log_probs)
+        log_probs = masked_step_log_probs(
+            logits, time, eos_id, unk_id, temperature,
+            minimum_decode_length)
         filtered = log_probs
         if top_k and top_k > 0:
             filtered = _filter_top_k(filtered, top_k)

@@ -104,23 +104,14 @@ def speculative_greedy_decode(target_steps_fn, target_init,
     max_steps = jnp.maximum(max_steps, minimum_decode_length)
 
     def masked_log_probs(logits, emit_index):
-        """Target/draft token distribution at an emission index, with
-        the same temperature/UNK/min-length handling as the plain
-        searches (sampling.py): emit_index [B] or [B, k]."""
-        logits = logits.astype(jnp.float32)
-        if sampling and temperature and temperature != 1.0:
-            logits = logits / temperature
-        lp = jax.nn.log_softmax(logits, axis=-1)
-        vocab = lp.shape[-1]
-        if unk_id is not None:
-            lp = lp + jnp.where(jnp.arange(vocab) == unk_id,
-                                NEG_INF, 0.0)
-        if minimum_decode_length > 0:
-            eos_mask = jnp.where(jnp.arange(vocab) == eos_id, NEG_INF, 0.0)
-            lp = lp + jnp.where(
-                (emit_index < minimum_decode_length - 1)[..., None],
-                eos_mask, 0.0)
-        return lp
+        """Target/draft token distribution at an emission index —
+        delegates to sampling.masked_step_log_probs so the masking
+        stays bit-identical to the plain searches (the distribution-
+        preservation guarantee depends on it)."""
+        from neurst_tpu.layers.search.sampling import masked_step_log_probs
+        return masked_step_log_probs(
+            logits, emit_index, eos_id, unk_id,
+            temperature if sampling else 1.0, minimum_decode_length)
 
     def filtered(lp):
         """The distribution plain sampling actually draws from."""
@@ -344,7 +335,7 @@ class SpeculativeDecode(SequenceSearch):
         from neurst_tpu.utils import checkpoints as ckpt_lib
         from neurst_tpu.utils.configurable import (
             ModelConfigs, strip_training_only_model_flags)
-        from neurst_tpu.utils.param_policy import cast_params_for_inference
+        from neurst_tpu.utils.param_policy import restore_inference_params
         cfg = ModelConfigs.load(draft_dir)
         cfg["model.params"] = strip_training_only_model_flags(
             cfg.get("model.params"))
@@ -352,15 +343,16 @@ class SpeculativeDecode(SequenceSearch):
         self._draft_model = task.build_model(cfg)
         params = self._draft_model.init_params(jax.random.PRNGKey(0))
         path = ckpt_lib.latest_checkpoint(draft_dir)
+        flat = {}
         if path:
             flat = ckpt_lib.restore_checkpoint_params(path)
-            params, _, _ = ckpt_lib.restore_into(params, flat)
             logging.info("Restored draft model from %s", path)
         else:
             logging.warning("No draft checkpoint in %s; random init.",
                             draft_dir)
-        self._draft_params = cast_params_for_inference(
-            params, (self._draft_model.args or {}).get("dtype"))
+        # shared path: int8ify under --int8_serving + bf16-at-rest
+        self._draft_params, _ = restore_inference_params(
+            self._draft_model, params, flat)
 
     def __call__(self, params, parsed_inp: dict, rng=None):
         a = self._args

@@ -185,6 +185,12 @@ class Seq2SeqModule(nn.Module):
         draft-model speculative decoding (layers/search/speculative.py).
 
         Returns (logits, new_cache)."""
+        if not isinstance(self.decoder, TransformerDecoder):
+            raise NotImplementedError(
+                "speculative decode_steps needs the transformer "
+                f"decoder's multi-token per-row-time path; "
+                f"{type(self.decoder).__name__} (e.g. the LightConv "
+                "ring buffer) does not support it")
         emb = self.trg_modality(ids, time=times)  # [B, k, D]
         dec_out, new_layers = self.decoder(
             emb, memory=None,

@@ -177,9 +177,9 @@ class GPT2(BaseModel):
         return self._module.apply({"params": params}, inputs=inputs,
                                   is_training=is_training, rngs=rngs or {})
 
-    def prepare_generation(self, params, inputs, decode_padded_length):
-        """Prefills the cache with the prompt (all but the last token),
-        then exposes a time-shifted stepwise closure."""
+    def _prefill(self, params, inputs, decode_padded_length):
+        """Prefills the cache with the prompt (all but the last token).
+        Returns (cache, prefill, generation_initializer)."""
         prompt = jnp.asarray(inputs["trg_input"])
         if prompt.ndim == 1:
             prompt = prompt[:, None]
@@ -199,11 +199,6 @@ class GPT2(BaseModel):
         if prefill > 0:
             cache = jax.lax.fori_loop(0, prefill, step_fn, cache)
 
-        def symbols_to_logits_fn(ids, cache, time):
-            return self._module.apply(
-                {"params": params}, ids, cache, time + prefill,
-                method=self._module.decode_step)
-
         generation_initializer = {
             "decoder_input": prompt[:, -1],
             "decoder_internal_cache": cache,
@@ -214,43 +209,32 @@ class GPT2(BaseModel):
             "eos_id": self._trg_meta["eos_id"],
             "unk_id": self._trg_meta.get("unk_id"),
         }
-        return symbols_to_logits_fn, generation_initializer
+        return cache, prefill, generation_initializer
+
+    def prepare_generation(self, params, inputs, decode_padded_length):
+        """Prompt-prefilled, time-shifted stepwise closure."""
+        _, prefill, init = self._prefill(params, inputs,
+                                         decode_padded_length)
+
+        def symbols_to_logits_fn(ids, cache, time):
+            return self._module.apply(
+                {"params": params}, ids, cache, time + prefill,
+                method=self._module.decode_step)
+
+        return symbols_to_logits_fn, init
 
     def prepare_speculative(self, params, inputs, decode_padded_length):
         """Multi-token per-row-time step closure for speculative
         decoding of the LM (prompt prefill shifts cache positions)."""
-        prompt = jnp.asarray(inputs["trg_input"])
-        if prompt.ndim == 1:
-            prompt = prompt[:, None]
-        batch, prompt_len = prompt.shape
-        prefill = prompt_len - 1
-        cache = self._module.apply(
-            {"params": params}, batch, decode_padded_length + prefill,
-            method=self._module.init_cache)
-
-        def step_fn(t, carry):
-            cache = carry
-            _, cache = self._module.apply(
-                {"params": params}, prompt[:, t], cache, t,
-                method=self._module.decode_step)
-            return cache
-        if prefill > 0:
-            cache = jax.lax.fori_loop(0, prefill, step_fn, cache)
+        _, prefill, init = self._prefill(params, inputs,
+                                         decode_padded_length)
 
         def steps_fn(ids, cache, times):
             return self._module.apply(
                 {"params": params}, ids, cache, times + prefill,
                 method=self._module.decode_steps)
 
-        generation_initializer = {
-            "decoder_input": prompt[:, -1],
-            "decoder_internal_cache": cache,
-            "decode_time_offset": prefill,
-            "encoder_inputs_maxlen": None,
-            "eos_id": self._trg_meta["eos_id"],
-            "unk_id": self._trg_meta.get("unk_id"),
-        }
-        return steps_fn, generation_initializer
+        return steps_fn, init
 
 
 register_hparams_set("gpt2_117m")(

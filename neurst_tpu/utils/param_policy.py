@@ -35,7 +35,28 @@ from typing import Any
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["cast_params_for_inference"]
+__all__ = ["cast_params_for_inference", "restore_inference_params"]
+
+
+def restore_inference_params(model, params, flat):
+    """One-stop checkpoint->serving-params path, shared by EVERY
+    inference entry (predict single/ensemble/draft, evaluator,
+    sequence evaluator, export): applies int8 weight-only quantization
+    when ``--int8_serving`` is on (the template's kernel_q/kernel_scale
+    leaves drive it — restoring a raw f32 dict into an int8 template
+    would silently keep the zero placeholders), then restores, then
+    stores bf16-at-rest weights for bf16-compute models.
+
+    Returns (params, missing_names)."""
+    from neurst_tpu.layers.quantization.quant_layers import (
+        int8_serving_enabled, int8ify_flat_params)
+    from neurst_tpu.utils import checkpoints as ckpt_lib
+    if int8_serving_enabled():
+        flat = int8ify_flat_params(flat, ckpt_lib.flatten_params(params))
+    params, _, missing = ckpt_lib.restore_into(params, flat)
+    params = cast_params_for_inference(
+        params, (getattr(model, "args", None) or {}).get("dtype"))
+    return params, missing
 
 _BF16_NAMES = ("bfloat16", "bf16")
 

@@ -134,6 +134,54 @@ def test_int8_transformer_restores_and_decodes_close_to_f32():
         quant_layers.set_int8_serving(False)
 
 
+def test_restore_inference_params_int8ifies_for_every_entry():
+    """The shared restore path (used by predict, evaluator, export,
+    ensemble members and the speculative draft) must quantize the f32
+    flat dict when int8 serving is on — restoring raw f32 into an int8
+    template would silently keep the all-zero placeholder kernels."""
+    from neurst_tpu.layers.quantization import quant_layers
+    from neurst_tpu.utils.checkpoints import flatten_params
+    from neurst_tpu.utils.param_policy import restore_inference_params
+
+    plain = _model()
+    flat = {k: np.asarray(v) for k, v in flatten_params(
+        plain.init_params(jax.random.PRNGKey(0))).items()}
+    quant_layers.set_int8_serving(True)
+    try:
+        m8 = _model()
+        tmpl = m8.init_params(jax.random.PRNGKey(1))
+        params, missing = restore_inference_params(m8, tmpl, flat)
+        assert not missing, missing
+        qleaves = {n: v for n, v in flatten_params(params).items()
+                   if n.endswith("kernel_q")}
+        assert qleaves
+        assert all(np.abs(np.asarray(v)).max() > 0
+                   for v in qleaves.values()), "zero placeholder kernels"
+    finally:
+        quant_layers.set_int8_serving(False)
+
+
+def test_qat_bits_drive_int8_grid():
+    """A 4-bit QAT checkpoint serves on the 4-bit grid (step clip/7,
+    levels [-8, 7]), not the hardcoded 8-bit one."""
+    from neurst_tpu.layers.quantization import quant_layers
+    rng = np.random.RandomState(5)
+    w = (rng.randn(6, 4) * 0.3).astype(np.float32)
+    flat = {"m/kernel": w,
+            "m/kernel_clip_max": np.asarray(0.5, np.float32)}
+    tmpl = {"m/kernel_q": np.zeros([6, 4], np.int8),
+            "m/kernel_scale": np.zeros([4], np.float32)}
+    quant_layers.set_int8_serving(True, qat_bits=4)
+    try:
+        out = quant_layers.int8ify_flat_params(flat, tmpl)
+    finally:
+        quant_layers.set_int8_serving(False)
+    np.testing.assert_allclose(out["m/kernel_scale"], 0.5 / 7.0,
+                               rtol=1e-6)
+    assert out["m/kernel_q"].min() >= -8
+    assert out["m/kernel_q"].max() <= 7
+
+
 def test_int8_requires_qat_modules_off():
     from neurst_tpu.layers.quantization import quant_layers
     quant_layers.global_init(True, quant_bits=8)

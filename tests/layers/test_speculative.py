@@ -218,8 +218,13 @@ def test_speculative_sampling_preserves_target_distribution():
     assert 0.5 * np.sum(np.abs(freq - p)) < 0.05  # total variation
 
     # multi-step smoke: terminates, tokens in-vocab, UNK never emitted
+    # (fresh caches sized max_len + k per the no-clamp contract)
+    t_fn8, t_init8 = target.prepare_speculative(
+        params_t, inputs, decode_padded_length=8 + 3)
+    d_fn8, d_init8 = draft.prepare_speculative(
+        params_d, inputs, decode_padded_length=8 + 3)
     ids8, _ = speculative_greedy_decode(
-        t_fn, t_init, d_fn, d_init, speculative_k=3,
+        t_fn8, t_init8, d_fn8, d_init8, speculative_k=3,
         maximum_decode_length=8, extra_decode_length=8,
         sampling=True, top_k=5, rng=jax.random.PRNGKey(7))
     ids8 = np.asarray(ids8)
