@@ -58,6 +58,11 @@ FLAG_LIST = [
          help="Serve with int8-stored dense kernels (weight-only "
               "absmax-per-channel quantization applied to the f32 "
               "checkpoint at restore; inference entries only)."),
+    Flag("int8_activations", dtype=Flag.TYPE.BOOLEAN, default=False,
+         help="With --int8_serving: also quantize dense-layer "
+              "activations dynamically (per-token absmax) and run "
+              "full int8 x int8 matmuls — the MXU's double-rate int8 "
+              "path."),
     Flag("include", dtype=Flag.TYPE.STRING, default=None, multiple=True,
          help="Python files/modules with custom @register components to "
               "import before building."),
@@ -196,7 +201,8 @@ def run_experiment(args):
                          "(quant_bits=%d); activation fake-quant is "
                          "dropped", qat_bits)
             global_init(False)
-        set_int8_serving(True, qat_bits=qat_bits)
+        set_int8_serving(True, qat_bits=qat_bits,
+                         activations=bool(args.get("int8_activations")))
     task = build_task(args)
     custom_dataset = build_dataset(args) if args.get("dataset.class") \
         else None

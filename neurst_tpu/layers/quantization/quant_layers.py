@@ -207,10 +207,11 @@ def dense_general(features, axis=-1, use_bias=True, activation=None,
         name=name)
 
 
-_INT8_SERVING = {"on": False, "qat_bits": 8}
+_INT8_SERVING = {"on": False, "qat_bits": 8, "activations": False}
 
 
-def set_int8_serving(on: bool, qat_bits: int = 8):
+def set_int8_serving(on: bool, qat_bits: int = 8,
+                     activations: bool = False):
     """Enables int8 weight-only serving: every ``dense_general`` site
     builds an ``Int8DenseGeneral`` (int8-stored kernels, dequantized
     per output channel after the matmul).  Must be set before the model
@@ -233,6 +234,9 @@ def set_int8_serving(on: bool, qat_bits: int = 8):
     # the QAT grid the checkpoint was trained with: levels are
     # multiples of clip / (2^(bits-1) - 1) in [-2^(bits-1), 2^(bits-1)-1]
     _INT8_SERVING["qat_bits"] = int(qat_bits)
+    # full-int8 matmuls: dynamically quantize activations per token and
+    # run int8 x int8 -> int32 dots (the MXU's double-rate int8 path)
+    _INT8_SERVING["activations"] = bool(on) and bool(activations)
 
 
 def int8_serving_enabled() -> bool:
@@ -278,13 +282,35 @@ class Int8DenseGeneral(nn.Module):
                               jnp.float32)
         kernel_scale = self.param("kernel_scale", nn.initializers.ones,
                                   features, jnp.float32)
-        y = jax.lax.dot_general(
-            x.astype(self.dtype), jnp.asarray(kernel_q).astype(self.dtype),
-            (((*axis,), tuple(range(len(axis)))), ((), ())))
-        # dequantize in f32 (the scale's precision matters; the
-        # roundtrip fuses into the matmul epilogue)
-        y = (y.astype(jnp.float32)
-             * jnp.asarray(kernel_scale, jnp.float32)).astype(self.dtype)
+        dims = (((*axis,), tuple(range(len(axis)))), ((), ()))
+        if _INT8_SERVING["activations"]:
+            # full-int8 path: dynamic per-token absmax activation
+            # scales, int8 x int8 -> int32 on the MXU's double-rate
+            # int8 path, one fused f32 dequant in the epilogue
+            x32 = x.astype(jnp.float32)
+            s_x = jnp.max(jnp.abs(x32), axis=axis, keepdims=True)
+            s_x = jnp.maximum(s_x, 1e-9) / 127.0
+            x_q = jnp.clip(jnp.round(x32 / s_x), -127, 127
+                           ).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                x_q, jnp.asarray(kernel_q), dims,
+                preferred_element_type=jnp.int32)
+            # batch dims of the dot output = non-contracted x dims, in
+            # order; s_x squeezed of the contracted axes aligns with
+            # them, then features broadcast on the right
+            s_tok = jnp.squeeze(s_x, axis=axis)
+            s_tok = s_tok.reshape(s_tok.shape + (1,) * len(features))
+            y = (acc.astype(jnp.float32) * s_tok
+                 * jnp.asarray(kernel_scale, jnp.float32)
+                 ).astype(self.dtype)
+        else:
+            y = jax.lax.dot_general(
+                x.astype(self.dtype),
+                jnp.asarray(kernel_q).astype(self.dtype), dims)
+            # dequantize in f32 (the scale's precision matters; the
+            # roundtrip fuses into the matmul epilogue)
+            y = (y.astype(jnp.float32)
+                 * jnp.asarray(kernel_scale, jnp.float32)).astype(self.dtype)
         if self.use_bias:
             bias = self.param("bias", self.bias_init, features,
                               jnp.float32)

@@ -134,6 +134,55 @@ def test_int8_transformer_restores_and_decodes_close_to_f32():
         quant_layers.set_int8_serving(False)
 
 
+def test_full_int8_activation_path():
+    """--int8_activations: dynamic per-token absmax activation scales,
+    int8 x int8 -> int32 dot, one f32 dequant — matches the manual
+    computation exactly, stays close to f32, and composes with a full
+    transformer decode."""
+    from neurst_tpu.layers.quantization import quant_layers
+    from neurst_tpu.layers.quantization.quant_layers import Int8DenseGeneral
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 3, 5).astype(np.float32)
+    q = rng.randint(-127, 128, size=(5, 4)).astype(np.int8)
+    scale = np.abs(rng.randn(4)).astype(np.float32) * 0.01
+    layer = Int8DenseGeneral(features=4, use_bias=False,
+                             dtype=jnp.float32)
+    params = {"kernel_q": jnp.asarray(q), "kernel_scale": jnp.asarray(scale)}
+    quant_layers.set_int8_serving(True, activations=True)
+    try:
+        y = np.asarray(layer.apply({"params": params}, jnp.asarray(x)))
+    finally:
+        quant_layers.set_int8_serving(False)
+    s_x = np.maximum(np.abs(x).max(axis=-1, keepdims=True), 1e-9) / 127.0
+    x_q = np.clip(np.round(x / s_x), -127, 127)
+    expect = (x_q @ q.astype(np.float64)) * s_x * scale
+    np.testing.assert_allclose(y, expect, rtol=1e-5, atol=1e-6)
+    # and close to the unquantized product (per-token int8 error bound)
+    full = x @ (q.astype(np.float32) * scale)
+    assert np.max(np.abs(y - full)) < 0.02 * np.abs(full).max() + 1e-3
+
+    # whole-model: logits stay close to f32 under full int8
+    plain = _model()
+    params_f = plain.init_params(jax.random.PRNGKey(0))
+    from neurst_tpu.utils.checkpoints import flatten_params, restore_into
+    flat = {k: np.asarray(v)
+            for k, v in flatten_params(params_f).items()}
+    logits_f = np.asarray(plain.call(params_f, _batch()))
+    quant_layers.set_int8_serving(True, activations=True)
+    try:
+        m8 = _model()
+        tmpl = m8.init_params(jax.random.PRNGKey(1))
+        flat_q = quant_layers.int8ify_flat_params(
+            flat, flatten_params(tmpl))
+        params_q, _, missing = restore_into(tmpl, flat_q)
+        assert not missing, missing
+        logits_q = np.asarray(m8.call(params_q, _batch()))
+    finally:
+        quant_layers.set_int8_serving(False)
+    assert np.max(np.abs(logits_q - logits_f)) < 0.35, \
+        np.max(np.abs(logits_q - logits_f))
+
+
 def test_restore_inference_params_int8ifies_for_every_entry():
     """The shared restore path (used by predict, evaluator, export,
     ensemble members and the speculative draft) must quantize the f32
