@@ -100,3 +100,22 @@ def test_generator_speculative_matches_greedy(tmp_path):
         return out
 
     assert canon(hyp_spec) == canon(hyp_ref)
+
+    # data-parallel speculative decode: the per-row cache writes and
+    # per-row times partition over the 8-device mesh unchanged
+    assert jax.device_count() == 8
+    batch8 = {
+        "src": np.concatenate([batch["src"]] * 2, axis=0),
+        "src_padding": np.concatenate([batch["src_padding"]] * 2, axis=0),
+        "trg_input": np.concatenate([batch["trg_input"]] * 2, axis=0),
+    }
+    spec_dp = SequenceGenerator(
+        {"search_method.class": "speculative_decode",
+         "search_method.params": {"draft_model_dir": draft_dir,
+                                  "speculative_k": 3,
+                                  "maximum_decode_length": 12,
+                                  "extra_decode_length": 8}},
+        task=task, model=target)
+    hyp_dp, _ = spec_dp.build_generation_fn(params_t)(dict(batch8))
+    assert canon(hyp_dp)[:4] == canon(hyp_spec)
+    assert canon(hyp_dp)[4:] == canon(hyp_spec)
