@@ -171,6 +171,62 @@ def test_gpt2_speculative_equals_plain_greedy(draft_kind):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_speech_transformer_speculative_equals_greedy():
+    """The flagship ST model: the conv front-end + post-conv length
+    recompute compose with the multi-token per-row-time decode path."""
+    from neurst_tpu.layers.search.sampling import sequence_sampling
+    from neurst_tpu.layers.search.speculative import \
+        speculative_greedy_decode
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.models.speech_transformer import SpeechTransformer
+
+    cfg = SpeechTransformer.build_model_args_by_name(
+        "speech_transformer_toy")
+    params_cfg = dict(cfg["model.params"])
+    params_cfg["dtype"] = "float32"
+    for prefix in ("encoder", "decoder"):
+        for key in ("attention_dropout_rate", "ffn_dropout_rate",
+                    "layer_postprocess_dropout_rate"):
+            params_cfg[f"{prefix}.{key}"] = 0.0
+    trg_meta = {"vocab_size": 32, "eos_id": 1, "bos_id": 2, "unk_id": 3,
+                "pad_id": 1, "language": "fr"}
+    src_meta = {"audio_feature_dim": 8, "audio_feature_channels": 1}
+    target = build_model(dict(cfg, **{"model.params": params_cfg}),
+                         src_meta=src_meta, trg_meta=trg_meta)
+    params_t = target.init_params(jax.random.PRNGKey(2))
+    draft, params_d = target, params_t  # same-weights draft
+
+    rng = np.random.RandomState(3)
+    inputs = {
+        "src": rng.randn(2, 32, 8, 1).astype(np.float32),
+        "src_length": np.array([32, 24], np.int32),
+        "trg_input": np.full([2], trg_meta["bos_id"], np.int32),
+    }
+    max_len = 10
+    s2l, init = target.prepare_generation(params_t, inputs,
+                                          decode_padded_length=max_len)
+    ids_ref, _ = sequence_sampling(
+        s2l, init, jax.random.PRNGKey(0), top_k=1,
+        maximum_decode_length=max_len, extra_decode_length=max_len)
+    t_fn, t_init = target.prepare_speculative(
+        params_t, inputs, decode_padded_length=max_len + 3)
+    d_fn, d_init = draft.prepare_speculative(
+        params_d, inputs, decode_padded_length=max_len + 3)
+    ids_spec, _ = speculative_greedy_decode(
+        t_fn, t_init, d_fn, d_init, speculative_k=3,
+        maximum_decode_length=max_len, extra_decode_length=max_len)
+
+    def canon(ids):
+        out = []
+        for row in np.asarray(ids):
+            row = list(row)
+            cut = row.index(1) + 1 if 1 in row else len(row)
+            out.append(tuple(row[:cut]))
+        return out
+
+    assert canon(ids_spec) == canon(ids_ref)
+
+
 def test_speculative_sampling_preserves_target_distribution():
     """Acceptance-rejection speculative sampling: the first emitted
     token's empirical distribution over many rows matches the target's
