@@ -90,6 +90,34 @@ def test_decode_steps_match_sequential_single_steps():
                                np.asarray(lg_ref), rtol=0, atol=1e-4)
 
 
+@pytest.mark.parametrize("k", [1, 5])
+def test_speculative_k_edges_equal_greedy(k):
+    """k=1 (degenerate single-token window) and k=5 (> typical accept
+    run) both reproduce plain greedy."""
+    from neurst_tpu.layers.search.sampling import sequence_sampling
+    from neurst_tpu.layers.search.speculative import \
+        speculative_greedy_decode
+    target = _model(layers=2)
+    params_t = target.init_params(jax.random.PRNGKey(1))
+    draft = _model(layers=1)
+    params_d = draft.init_params(jax.random.PRNGKey(9))
+    inputs = _inputs()
+    max_len = 12
+    s2l, init = target.prepare_generation(params_t, inputs,
+                                          decode_padded_length=max_len)
+    ids_ref, _ = sequence_sampling(
+        s2l, init, jax.random.PRNGKey(0), top_k=1,
+        maximum_decode_length=max_len, extra_decode_length=max_len)
+    t_fn, t_init = target.prepare_speculative(
+        params_t, inputs, decode_padded_length=max_len + k)
+    d_fn, d_init = draft.prepare_speculative(
+        params_d, inputs, decode_padded_length=max_len + k)
+    ids_spec, _ = speculative_greedy_decode(
+        t_fn, t_init, d_fn, d_init, speculative_k=k,
+        maximum_decode_length=max_len, extra_decode_length=max_len)
+    assert _truncate_at_eos(ids_spec) == _truncate_at_eos(ids_ref)
+
+
 @pytest.mark.parametrize("draft_kind", ["same", "different"])
 def test_speculative_equals_plain_greedy(draft_kind):
     from neurst_tpu.layers.search.sampling import sequence_sampling
