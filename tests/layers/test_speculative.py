@@ -317,6 +317,24 @@ def test_speculative_sampling_preserves_target_distribution():
     assert not np.any(ids8 == META["unk_id"])
 
 
+def test_lightconv_speculative_raises_clearly():
+    """Non-transformer decoders (LightConv ring buffers) have no
+    multi-token per-row-time path: decode_steps must raise instead of
+    silently consuming only the first of k tokens."""
+    from neurst_tpu.models.light_convolution_model import \
+        LightConvolutionModel
+    from neurst_tpu.models.model import build_model
+    cfg = LightConvolutionModel.build_model_args_by_name("lightconv_toy")
+    model = build_model(cfg, src_meta=META, trg_meta=META)
+    params = model.init_params(jax.random.PRNGKey(6))
+    steps_fn, init = model.prepare_speculative(
+        params, _inputs(batch=2), decode_padded_length=8)
+    with pytest.raises(NotImplementedError, match="LightConv|transformer"):
+        steps_fn(np.ones([2, 3], np.int32),
+                 init["decoder_internal_cache"],
+                 jnp.zeros([2], jnp.int32))
+
+
 def test_speculative_search_layer_registered():
     from neurst_tpu.layers.search.sequence_search import build_search_layer
     layer = build_search_layer({
