@@ -340,45 +340,66 @@ def int8ify_flat_params(flat: dict, template_flat: dict) -> dict:
         if w is None:
             continue
         w = np.asarray(w, np.float32)
-        n_scale_dims = len(np.shape(template_flat[scale_name]))
+        s_shape = tuple(np.shape(template_flat[scale_name]))
+        lead, trail, reduce_axes = _scale_axes(w.shape, s_shape, name)
+        denom_shape = (w.shape[:lead] + (1,) * len(reduce_axes)
+                       + w.shape[w.ndim - trail:])
         clip = flat.get(base + "_clip_max")
         if clip is not None and name.endswith("/kernel_q"):
             # learned QAT clip -> per-tensor scale on the grid the
             # checkpoint trained with: step clip/(2^(b-1)-1), levels
-            # [-2^(b-1), 2^(b-1)-1] (fits int8 for b <= 8)
+            # [-2^(b-1), 2^(b-1)-1] (fits int8 for b <= 8).  Under
+            # scan_layers the clip is stacked [L] -> per-layer scale.
             b = int(_INT8_SERVING["qat_bits"])
             if b > 8:
                 raise ValueError(
                     f"QAT quant_bits={b} does not fit int8 serving")
             half = 2 ** (b - 1)
-            scale_val = max(float(np.asarray(clip)), 1e-9) / (half - 1.0)
-            q = np.clip(np.round(w / scale_val), -half,
-                        half - 1).astype(np.int8)
+            clip = np.asarray(clip, np.float32)
+            scale = np.broadcast_to(
+                clip.reshape(clip.shape + (1,) * (len(s_shape) - clip.ndim)),
+                s_shape) / (half - 1.0)
+            scale = np.maximum(scale, 1e-9 / (half - 1.0))
+            q = np.clip(np.round(w / scale.reshape(denom_shape)),
+                        -half, half - 1).astype(np.int8)
             out.pop(base, None)
             out.pop(base + "_clip_max", None)
             out[name] = q
-            out[scale_name] = np.full(
-                np.shape(template_flat[scale_name]), scale_val, np.float32)
+            out[scale_name] = scale.astype(np.float32)
             continue
-        if name.endswith("/weights_q"):
-            # embedding table [V, D]: per-vocab-ROW scale [V] serves
-            # both the lookup and the tied-softmax channel dequant
-            reduce_axes = tuple(range(n_scale_dims, w.ndim))
-            keep = np.max(np.abs(w), axis=reduce_axes)
-        else:
-            # dense kernel [in..., out...]: per-OUTPUT-channel scale
-            reduce_axes = tuple(range(w.ndim - n_scale_dims))
-            keep = np.max(np.abs(w), axis=reduce_axes)
+        keep = np.max(np.abs(w), axis=reduce_axes)
         scale = np.maximum(keep, 1e-9) / 127.0
-        if name.endswith("/weights_q"):
-            denom = scale.reshape(scale.shape + (1,) * len(reduce_axes))
-        else:
-            denom = scale  # aligns to the trailing (feature) dims
-        q = np.clip(np.round(w / denom), -127, 127).astype(np.int8)
+        q = np.clip(np.round(w / scale.reshape(denom_shape)),
+                    -127, 127).astype(np.int8)
         out.pop(base, None)
         out[name] = q
         out[scale_name] = scale.astype(np.float32)
     return out
+
+
+def _scale_axes(w_shape, scale_shape, name):
+    """Splits a quantized tensor's axes into (leading-kept, trailing-
+    kept, reduced) so that the kept axes reproduce ``scale_shape``.
+    Covers plain dense kernels [in..., out...] with scale [out...]
+    (lead 0), scan/pipeline-stacked kernels [L, in..., out...] with
+    scale [L, out...] (lead 1), and embedding tables [V, D] with
+    per-row scale [V] (trail 0).  Preference resolves square-shape
+    ambiguity: kernels keep their TRAILING feature axes first (the
+    module applies the scale on the output features), embedding tables
+    their LEADING vocab axis first."""
+    n, k = len(w_shape), len(scale_shape)
+    leads = range(0, k + 1) if name.endswith("/kernel_q") \
+        else range(k, -1, -1)
+    for lead in leads:
+        trail = k - lead
+        if (tuple(w_shape[:lead]) == tuple(scale_shape[:lead])
+                and tuple(w_shape[n - trail:])
+                == tuple(scale_shape[lead:])
+                and lead + trail <= n):
+            return lead, trail, tuple(range(lead, n - trail))
+    raise ValueError(
+        f"cannot align scale shape {scale_shape} to tensor shape "
+        f"{w_shape} for {name}")
 
 
 def clip_l2_penalty(params) -> jnp.ndarray:

@@ -231,6 +231,59 @@ def test_qat_bits_drive_int8_grid():
     assert out["m/kernel_q"].max() <= 7
 
 
+def test_int8_composes_with_scan_layers():
+    """scan_layers stacks kernels [L, in, out] and scales [L, out]:
+    the quantizer must keep the layer axis and reduce only the input
+    axes (per-layer per-output-channel grid)."""
+    from neurst_tpu.layers.quantization import quant_layers
+    from neurst_tpu.utils.checkpoints import flatten_params, restore_into
+
+    def scan_model():
+        from neurst_tpu.models.model import build_model
+        from neurst_tpu.models.transformer import Transformer
+        cfg = dict(Transformer.build_model_args_by_name(
+            "transformer_toy")["model.params"])
+        cfg["dtype"] = "float32"
+        cfg["decoder.scan_layers"] = True
+        cfg["encoder.scan_layers"] = True
+        for prefix in ("encoder", "decoder"):
+            cfg[f"{prefix}.attention_dropout_rate"] = 0.0
+            cfg[f"{prefix}.ffn_dropout_rate"] = 0.0
+            cfg[f"{prefix}.layer_postprocess_dropout_rate"] = 0.0
+        return build_model(
+            {"model.class": "transformer", "model.params": cfg},
+            src_meta=META, trg_meta=META)
+
+    plain = scan_model()
+    params_f = plain.init_params(jax.random.PRNGKey(0))
+    flat = {k: np.asarray(v)
+            for k, v in flatten_params(params_f).items()}
+    logits_f = np.asarray(plain.call(params_f, _batch()))
+
+    quant_layers.set_int8_serving(True)
+    try:
+        m8 = scan_model()
+        tmpl = m8.init_params(jax.random.PRNGKey(1))
+        tmpl_flat = flatten_params(tmpl)
+        stacked = [n for n in tmpl_flat if "/layers/layer/" in n
+                   and n.endswith("kernel_q")]
+        assert stacked, "no stacked int8 kernels"
+        flat_q = quant_layers.int8ify_flat_params(flat, tmpl_flat)
+        # per-layer scales survive: stacked scale leads with L
+        for n in stacked:
+            sc = flat_q[n[:-2] + "_scale"]
+            w = flat_q[n]
+            assert sc.shape[0] == w.shape[0], (n, sc.shape, w.shape)
+            assert not np.allclose(sc[0], sc[1])  # layers differ
+        params_q, _, missing = restore_into(tmpl, flat_q)
+        assert not missing, missing
+        logits_q = np.asarray(m8.call(params_q, _batch()))
+    finally:
+        quant_layers.set_int8_serving(False)
+    assert np.max(np.abs(logits_q - logits_f)) < 0.2, \
+        np.max(np.abs(logits_q - logits_f))
+
+
 def test_int8_requires_qat_modules_off():
     from neurst_tpu.layers.quantization import quant_layers
     quant_layers.global_init(True, quant_bits=8)
