@@ -122,6 +122,14 @@ class MoeFFN(nn.Module):
               else self.eval_capacity_factor)
         capacity = max(1, int(math.ceil(T * K * float(cf) / E)))
         capacity = min(capacity, T)  # one row never sends >T to one expert
+        if not is_training and T <= 16:
+            # short eval windows are decode steps (stepwise T=1, or a
+            # speculative verification window T=k): route DROPLESS so
+            # multi-token verification matches single-token decode
+            # exactly (with E > 2*top_k the capacity bound could
+            # otherwise drop a token that stepwise decode would keep);
+            # the [B,T,E,T] dispatch tensor is tiny at these T
+            capacity = T
 
         # ---- top-k assignment with per-expert capacity ---- #
         combine = jnp.zeros((B, T, E, capacity), jnp.float32)

@@ -317,6 +317,91 @@ def test_speculative_sampling_preserves_target_distribution():
     assert not np.any(ids8 == META["unk_id"])
 
 
+def test_scan_layers_speculative_equals_greedy():
+    """Vector decode times broadcast through the nn.scan decoder; the
+    stacked cache's per-row vmap writes land per layer slice."""
+    from neurst_tpu.layers.search.sampling import sequence_sampling
+    from neurst_tpu.layers.search.speculative import \
+        speculative_greedy_decode
+    target = _model(layers=2)
+    params_t = target.init_params(jax.random.PRNGKey(1))
+
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.models.transformer import Transformer
+    from neurst_tpu.utils.checkpoints import flatten_params, restore_into
+    cfg = dict(Transformer.build_model_args_by_name(
+        "transformer_toy")["model.params"])
+    cfg.update({"dtype": "float32", "encoder.num_layers": 2,
+                "decoder.num_layers": 2, "decoder.scan_layers": True})
+    for prefix in ("encoder", "decoder"):
+        cfg[f"{prefix}.attention_dropout_rate"] = 0.0
+        cfg[f"{prefix}.ffn_dropout_rate"] = 0.0
+        cfg[f"{prefix}.layer_postprocess_dropout_rate"] = 0.0
+    scan = build_model({"model.class": "transformer",
+                        "model.params": cfg},
+                       src_meta=META, trg_meta=META)
+    params_s, _, missing = restore_into(
+        scan.init_params(jax.random.PRNGKey(7)),
+        flatten_params(params_t))
+    assert not missing, missing
+
+    inputs = _inputs()
+    max_len = 12
+    s2l, init = target.prepare_generation(params_t, inputs,
+                                          decode_padded_length=max_len)
+    ids_ref, _ = sequence_sampling(
+        s2l, init, jax.random.PRNGKey(0), top_k=1,
+        maximum_decode_length=max_len, extra_decode_length=max_len)
+    t_fn, t_init = scan.prepare_speculative(
+        params_s, inputs, decode_padded_length=max_len + 3)
+    d_fn, d_init = scan.prepare_speculative(
+        params_s, inputs, decode_padded_length=max_len + 3)
+    ids_spec, _ = speculative_greedy_decode(
+        t_fn, t_init, d_fn, d_init, speculative_k=3,
+        maximum_decode_length=max_len, extra_decode_length=max_len)
+    assert _truncate_at_eos(ids_spec) == _truncate_at_eos(ids_ref)
+
+
+def test_moe_speculative_equals_greedy():
+    """MoE decoders: the dropless short-window routing makes the
+    multi-token verification match single-token decode exactly even
+    with E > 2*top_k (where the capacity bound would otherwise drop
+    tokens stepwise decode keeps)."""
+    from neurst_tpu.layers.search.sampling import sequence_sampling
+    from neurst_tpu.layers.search.speculative import \
+        speculative_greedy_decode
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.models.transformer import Transformer
+    cfg = dict(Transformer.build_model_args_by_name(
+        "transformer_toy")["model.params"])
+    cfg.update({"dtype": "float32",
+                "decoder.moe_num_experts": 4,
+                "decoder.moe_layer_frequency": 2,
+                "decoder.moe_router_jitter": 0.0})
+    for prefix in ("encoder", "decoder"):
+        cfg[f"{prefix}.attention_dropout_rate"] = 0.0
+        cfg[f"{prefix}.ffn_dropout_rate"] = 0.0
+        cfg[f"{prefix}.layer_postprocess_dropout_rate"] = 0.0
+    target = build_model({"model.class": "transformer",
+                          "model.params": cfg},
+                         src_meta=META, trg_meta=META)
+    params_t = target.init_params(jax.random.PRNGKey(4))
+
+    inputs = _inputs()
+    max_len = 12
+    s2l, init = target.prepare_generation(params_t, inputs,
+                                          decode_padded_length=max_len)
+    ids_ref, _ = sequence_sampling(
+        s2l, init, jax.random.PRNGKey(0), top_k=1,
+        maximum_decode_length=max_len, extra_decode_length=max_len)
+    t_fn, t_init = target.prepare_speculative(
+        params_t, inputs, decode_padded_length=max_len + 3)
+    ids_spec, _ = speculative_greedy_decode(
+        t_fn, t_init, t_fn, t_init, speculative_k=3,
+        maximum_decode_length=max_len, extra_decode_length=max_len)
+    assert _truncate_at_eos(ids_spec) == _truncate_at_eos(ids_ref)
+
+
 def test_lightconv_speculative_raises_clearly():
     """Non-transformer decoders (LightConv ring buffers) have no
     multi-token per-row-time path: decode_steps must raise instead of
