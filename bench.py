@@ -143,6 +143,67 @@ def bench_decode(jax):
     return utt_per_sec, rtf, per_config
 
 
+def bench_decode_dtype(jax):
+    """On-chip A/B of the serving dtype levers at the headline decode
+    shape (chunked prefix, beam 4): f32-at-rest vs bf16-at-rest
+    (bitwise-equal outputs, half the weight reads) vs int8 weight-only
+    (quarter the reads) vs full-int8 (int8 x int8 -> int32 matmuls with
+    dynamic per-token activation scales).  Full-decode milliseconds per
+    config; correctness is pinned by tests/layers/test_int8_serving.py."""
+    from functools import partial
+
+    from __graft_entry__ import _build_model
+    from neurst_tpu.layers.quantization.quant_layers import set_int8_serving
+    from neurst_tpu.layers.search.beam_search import sequence_beam_search
+    from neurst_tpu.utils.checkpoints import flatten_params
+    from neurst_tpu.utils.param_policy import (cast_params_for_inference,
+                                               restore_inference_params)
+
+    base_model, trg_meta = _build_model(tiny=False)
+    f32_params = base_model.init_params(jax.random.PRNGKey(0))
+    flat = flatten_params(f32_params)
+    rng = np.random.RandomState(0)
+    inputs = {
+        "src": jax.device_put(
+            rng.randn(BATCH, FRAMES, 80, 1).astype(np.float32)),
+        "src_length": jax.device_put(np.full([BATCH], FRAMES, np.int32)),
+        "trg_input": jax.device_put(
+            np.full([BATCH], trg_meta["bos_id"], np.int32)),
+    }
+    times = {}
+    for label, int8, act in (("f32_ms", False, False),
+                             ("bf16_ms", False, False),
+                             ("int8_ms", True, False),
+                             ("int8_act_ms", True, True)):
+        set_int8_serving(int8, activations=act)
+        try:
+            model, _ = _build_model(tiny=False)
+            params = model.init_params(jax.random.PRNGKey(0))
+            if int8:
+                params, _ = restore_inference_params(model, params, flat)
+            elif label == "bf16_ms":
+                params = cast_params_for_inference(params, "bfloat16")
+
+            @partial(jax.jit, static_argnums=())
+            def decode(params, inputs, m=model):
+                s2l, init = m.prepare_generation(
+                    params, inputs, decode_padded_length=MAX_DECODE)
+                return sequence_beam_search(
+                    s2l, init, beam_size=BEAM, top_k=1,
+                    maximum_decode_length=MAX_DECODE,
+                    extra_decode_length=MAX_DECODE,
+                    minimum_decode_length=MAX_DECODE - 1,
+                    prefix_decode_chunk=16)
+
+            elapsed = _median_time(lambda: decode(params, inputs),
+                                   lambda out: np.asarray(out[0]),
+                                   warmup=1, iters=3, chain=4)
+            times[label] = round(elapsed * 1000, 1)
+        finally:
+            set_int8_serving(False)
+    return times
+
+
 def _train_flops(n_src_tok, n_trg_tok, dmodel=512, layers=6, ffn=2048,
                  vocab=TRAIN_VOCAB, batch=None, length=None):
     """Analytic transformer_base train FLOPs (fwd + 2x bwd = 3x fwd).
@@ -377,6 +438,7 @@ def main():
     import jax
 
     utt_per_sec, rtf, decode_configs = bench_decode(jax)
+    decode_dtype = bench_decode_dtype(jax)
     train_tok_s, train_step_s, mfu = bench_train(jax)
     bf16_tok_s, bf16_step_s, bf16_mfu = bench_train(jax, bf16_params=True)
     long_audio = bench_long_audio(jax)
@@ -391,6 +453,7 @@ def main():
                   "max_decode": MAX_DECODE, "beam": BEAM,
                   "decode_utt_s_per_config": {
                       k: round(v, 1) for k, v in decode_configs.items()},
+                  "decode_dtype_ms": decode_dtype,
                   "train_model": "transformer_base_bf16",
                   "train_trg_tokens_per_sec_per_chip": round(train_tok_s),
                   "train_step_ms": round(train_step_s * 1000, 1),

@@ -63,6 +63,14 @@ FLAG_LIST = [
               "activations dynamically (per-token absmax) and run "
               "full int8 x int8 matmuls — the MXU's double-rate int8 "
               "path."),
+    Flag("int8_static_activations", dtype=Flag.TYPE.BOOLEAN, default=False,
+         help="With --int8_activations: replace the per-token absmax "
+              "reduction with static per-tensor activation scales, "
+              "calibrated at predict startup by teacher-forcing the "
+              "model's own first-pass hypotheses (PTQ calibration)."),
+    Flag("int8_calibration_batches", dtype=Flag.TYPE.INTEGER, default=4,
+         help="Number of leading batches used to calibrate the static "
+              "int8 activation scales."),
     Flag("include", dtype=Flag.TYPE.STRING, default=None, multiple=True,
          help="Python files/modules with custom @register components to "
               "import before building."),
@@ -202,7 +210,9 @@ def run_experiment(args):
                          "dropped", qat_bits)
             global_init(False)
         set_int8_serving(True, qat_bits=qat_bits,
-                         activations=bool(args.get("int8_activations")))
+                         activations=bool(args.get("int8_activations")),
+                         static_activation_scales=bool(
+                             args.get("int8_static_activations")))
     task = build_task(args)
     custom_dataset = build_dataset(args) if args.get("dataset.class") \
         else None

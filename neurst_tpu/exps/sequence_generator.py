@@ -125,6 +125,56 @@ class SequenceGenerator(BaseExperiment):
                 v, batch_sharding(mesh) if shardable else replicated(mesh))
         return out
 
+    def _calibrate_int8_static(self, params, batch_iter):
+        """Self-calibration of static int8 activation scales
+        (--int8_static_activations): with calibration mode on (the
+        dynamic per-token path stays active), decode the first
+        --int8_calibration_batches batches, teacher-force the model's
+        OWN hypotheses while recording every dense input's running
+        absmax, and write ``act_scale = absmax / 127`` into the served
+        params — PTQ calibration with no references needed at predict
+        time."""
+        from neurst_tpu.layers.quantization.quant_layers import (
+            set_int8_calibration, write_calibrated_act_scales)
+        n = int(self._args.get("int8_calibration_batches") or 4)
+        module = self._model._module
+        set_int8_calibration(True)
+        try:
+            generate = self.build_generation_fn(params)
+            record = jax.jit(lambda p, inp: module.apply(
+                {"params": p}, inputs=inp, is_training=False,
+                mutable=["calibration"])[1]["calibration"])
+            agg = None
+            count = 0
+            for batch in batch_iter():
+                model_inp = {k: v for k, v in batch.items()
+                             if isinstance(v, np.ndarray)
+                             and v.dtype != object}
+                hyp, _ = generate(model_inp)
+                hyp = np.asarray(hyp)
+                bos = np.asarray(model_inp["trg_input"]).reshape(-1)
+                bsz = bos.shape[0]
+                top = hyp[:: max(hyp.shape[0] // bsz, 1)]
+                trg_input = np.concatenate(
+                    [bos[:, None], top[:, :-1]], axis=1).astype(np.int32)
+                cal = jax.tree_util.tree_map(
+                    np.asarray,
+                    record(params, dict(model_inp, trg_input=trg_input)))
+                agg = cal if agg is None else jax.tree_util.tree_map(
+                    np.maximum, agg, cal)
+                count += 1
+                if count >= n:
+                    break
+            if agg is None:
+                logging.warning("int8 static calibration saw no batches; "
+                                "act scales keep their init values")
+                return params
+            logging.info("Calibrated static int8 activation scales on "
+                         "%d batches", count)
+            return write_calibrated_act_scales(params, agg)
+        finally:
+            set_int8_calibration(False)
+
     def build_generation_fn(self, params):
         """Returns fn(model_inputs) -> (hypotheses ids, scores).
 
@@ -248,10 +298,13 @@ class SequenceGenerator(BaseExperiment):
             model = self._model
             params = self.restore_params(
                 model.init_params(jax.random.PRNGKey(0)))
-        generate = self.build_generation_fn(params)
-
         batch_iter = task.create_batch_iterator(
             self._custom_dataset, ModeKeys.INFER, args)
+        from neurst_tpu.layers.quantization.quant_layers import \
+            int8_static_act_enabled
+        if params is not None and int8_static_act_enabled():
+            params = self._calibrate_int8_static(params, batch_iter)
+        generate = self.build_generation_fn(params)
         postprocess = task.get_data_postprocess_fn(
             self._custom_dataset.status)
         # PROJECTED datasets still need id->text decoding of hypotheses

@@ -46,7 +46,9 @@ from flax import linen as nn
 __all__ = ["global_init", "get_global_config", "quant_enabled",
            "fake_quant_minmax", "QuantDenseGeneral", "dense_general",
            "clip_l2_penalty", "set_int8_serving", "int8_serving_enabled",
-           "Int8DenseGeneral", "int8ify_flat_params"]
+           "Int8DenseGeneral", "int8ify_flat_params",
+           "set_int8_calibration", "calibrate_int8_act_scales",
+           "write_calibrated_act_scales"]
 
 _CONFIG = {
     "enable_quant": False,
@@ -207,11 +209,13 @@ def dense_general(features, axis=-1, use_bias=True, activation=None,
         name=name)
 
 
-_INT8_SERVING = {"on": False, "qat_bits": 8, "activations": False}
+_INT8_SERVING = {"on": False, "qat_bits": 8, "activations": False,
+                 "static_act": False, "calibrate": False}
 
 
 def set_int8_serving(on: bool, qat_bits: int = 8,
-                     activations: bool = False):
+                     activations: bool = False,
+                     static_activation_scales: bool = False):
     """Enables int8 weight-only serving: every ``dense_general`` site
     builds an ``Int8DenseGeneral`` (int8-stored kernels, dequantized
     per output channel after the matmul).  Must be set before the model
@@ -237,10 +241,89 @@ def set_int8_serving(on: bool, qat_bits: int = 8,
     # full-int8 matmuls: dynamically quantize activations per token and
     # run int8 x int8 -> int32 dots (the MXU's double-rate int8 path)
     _INT8_SERVING["activations"] = bool(on) and bool(activations)
+    # static per-tensor activation scales (saves the per-token absmax
+    # reduction): each Int8DenseGeneral gains an ``act_scale`` param,
+    # filled by calibrate_int8_act_scales (absmax over calibration
+    # batches / 127); until calibrated, the dynamic path is used
+    _INT8_SERVING["static_act"] = (_INT8_SERVING["activations"]
+                                   and bool(static_activation_scales))
+    _INT8_SERVING["calibrate"] = False
 
 
 def int8_serving_enabled() -> bool:
     return bool(_INT8_SERVING["on"])
+
+
+def int8_static_act_enabled() -> bool:
+    return bool(_INT8_SERVING["static_act"])
+
+
+def set_int8_calibration(on: bool):
+    """Calibration mode for static activation scales: Int8DenseGeneral
+    keeps quantizing dynamically but records each call's input absmax
+    into the flax "calibration" collection (reduce = running max).
+    Callers apply the module with ``mutable=["calibration"]`` and feed
+    the collected maxima to ``write_calibrated_act_scales``."""
+    _INT8_SERVING["calibrate"] = bool(on)
+
+
+def calibrate_int8_act_scales(model, params, batches, margin: float = 1.0):
+    """Post-training calibration of the static activation scales:
+    teacher-forces ``batches`` (model-input dicts) through the model
+    with calibration recording on, takes the running per-dense input
+    absmax across all batches, and writes ``act_scale = margin *
+    absmax / 127`` into ``params``.  Returns the updated params.
+
+    Standard PTQ practice (the observed ranges include the effect of
+    upstream weight quantization because the dynamic int8 path runs
+    during calibration).  ``margin`` > 1 leaves clip headroom for
+    inputs outside the calibration set."""
+    if not _INT8_SERVING["static_act"]:
+        raise ValueError(
+            "calibrate_int8_act_scales requires set_int8_serving("
+            "activations=True, static_activation_scales=True)")
+    module = getattr(model, "_module", None) or model
+    set_int8_calibration(True)
+    try:
+        def run(p, inp):
+            _, variables = module.apply(
+                {"params": p}, inputs=inp, is_training=False,
+                mutable=["calibration"])
+            return variables["calibration"]
+
+        agg = None
+        n = 0
+        for batch in batches:
+            cal = jax.tree_util.tree_map(np.asarray, run(params, batch))
+            agg = cal if agg is None else jax.tree_util.tree_map(
+                np.maximum, agg, cal)
+            n += 1
+        if agg is None:
+            raise ValueError("calibration got zero batches")
+        logging.info("int8 activation calibration: %d batches", n)
+    finally:
+        set_int8_calibration(False)
+    return write_calibrated_act_scales(params, agg, margin=margin)
+
+
+def write_calibrated_act_scales(params, calibration, margin: float = 1.0):
+    """Writes ``act_scale = margin * act_absmax / 127`` into the params
+    tree at every module path where ``calibration`` recorded an
+    ``act_absmax`` (the two trees are parallel by construction)."""
+    def walk(p, c):
+        if not isinstance(c, dict):
+            return p
+        out = dict(p)
+        for k, v in c.items():
+            if k == "act_absmax":
+                amax = float(np.max(np.asarray(v)))
+                out["act_scale"] = np.float32(
+                    max(amax * float(margin), 1e-9) / 127.0)
+            elif isinstance(v, dict) and k in out:
+                out[k] = walk(out[k], v)
+        return out
+
+    return walk(params, calibration)
 
 
 class Int8DenseGeneral(nn.Module):
@@ -284,25 +367,50 @@ class Int8DenseGeneral(nn.Module):
                                   features, jnp.float32)
         dims = (((*axis,), tuple(range(len(axis)))), ((), ()))
         if _INT8_SERVING["activations"]:
-            # full-int8 path: dynamic per-token absmax activation
-            # scales, int8 x int8 -> int32 on the MXU's double-rate
-            # int8 path, one fused f32 dequant in the epilogue
+            # full-int8 path: int8 x int8 -> int32 on the MXU's
+            # double-rate int8 path, one fused f32 dequant in the
+            # epilogue.  Activation scales are dynamic per-token absmax
+            # by default; with static_act + calibration, a per-tensor
+            # ``act_scale`` param replaces the absmax reduction.
             x32 = x.astype(jnp.float32)
-            s_x = jnp.max(jnp.abs(x32), axis=axis, keepdims=True)
-            s_x = jnp.maximum(s_x, 1e-9) / 127.0
-            x_q = jnp.clip(jnp.round(x32 / s_x), -127, 127
-                           ).astype(jnp.int8)
-            acc = jax.lax.dot_general(
-                x_q, jnp.asarray(kernel_q), dims,
-                preferred_element_type=jnp.int32)
-            # batch dims of the dot output = non-contracted x dims, in
-            # order; s_x squeezed of the contracted axes aligns with
-            # them, then features broadcast on the right
-            s_tok = jnp.squeeze(s_x, axis=axis)
-            s_tok = s_tok.reshape(s_tok.shape + (1,) * len(features))
-            y = (acc.astype(jnp.float32) * s_tok
-                 * jnp.asarray(kernel_scale, jnp.float32)
-                 ).astype(self.dtype)
+            static = _INT8_SERVING["static_act"]
+            if static:
+                act_scale = self.param("act_scale", nn.initializers.ones,
+                                       (), jnp.float32)
+            if static and _INT8_SERVING["calibrate"]:
+                # record the running input absmax (the dynamic path
+                # still computes this batch, so calibration outputs are
+                # the dynamic-quant outputs)
+                self.sow("calibration", "act_absmax",
+                         jnp.max(jnp.abs(x32)).astype(jnp.float32),
+                         reduce_fn=jnp.maximum,
+                         init_fn=lambda: jnp.zeros([], jnp.float32))
+            if static and not _INT8_SERVING["calibrate"]:
+                s = jnp.maximum(jnp.asarray(act_scale, jnp.float32), 1e-9)
+                x_q = jnp.clip(jnp.round(x32 / s), -127, 127
+                               ).astype(jnp.int8)
+                acc = jax.lax.dot_general(
+                    x_q, jnp.asarray(kernel_q), dims,
+                    preferred_element_type=jnp.int32)
+                y = (acc.astype(jnp.float32) * s
+                     * jnp.asarray(kernel_scale, jnp.float32)
+                     ).astype(self.dtype)
+            else:
+                s_x = jnp.max(jnp.abs(x32), axis=axis, keepdims=True)
+                s_x = jnp.maximum(s_x, 1e-9) / 127.0
+                x_q = jnp.clip(jnp.round(x32 / s_x), -127, 127
+                               ).astype(jnp.int8)
+                acc = jax.lax.dot_general(
+                    x_q, jnp.asarray(kernel_q), dims,
+                    preferred_element_type=jnp.int32)
+                # batch dims of the dot output = non-contracted x dims,
+                # in order; s_x squeezed of the contracted axes aligns
+                # with them, then features broadcast on the right
+                s_tok = jnp.squeeze(s_x, axis=axis)
+                s_tok = s_tok.reshape(s_tok.shape + (1,) * len(features))
+                y = (acc.astype(jnp.float32) * s_tok
+                     * jnp.asarray(kernel_scale, jnp.float32)
+                     ).astype(self.dtype)
         else:
             y = jax.lax.dot_general(
                 x.astype(self.dtype),

@@ -351,6 +351,16 @@ class SpeculativeDecode(SequenceSearch):
             logging.warning("No draft checkpoint in %s; random init.",
                             draft_dir)
         # shared path: int8ify under --int8_serving + bf16-at-rest
+        from neurst_tpu.layers.quantization.quant_layers import \
+            int8_static_act_enabled
+        if int8_static_act_enabled():
+            # the draft restores outside the generator's calibration
+            # loop — an uncalibrated act_scale would silently serve
+            # garbage proposals
+            raise NotImplementedError(
+                "--int8_static_activations is not supported with "
+                "speculative decoding (the draft model is never "
+                "calibrated); use dynamic --int8_activations")
         self._draft_params, _ = restore_inference_params(
             self._draft_model, params, flat)
 

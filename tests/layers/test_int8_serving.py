@@ -316,3 +316,83 @@ def test_int8_uses_learned_qat_clip_ranges():
         jnp.asarray(w), -cmax * 128.0 / 127.0, cmax, 8))
     np.testing.assert_allclose(w_hat, expect, rtol=0, atol=1e-6)
     assert out["m/kernel_q"].min() >= -128
+
+
+def test_static_activation_scales_calibrate_and_serve():
+    """static_activation_scales: calibration records each dense input's
+    running absmax into the "calibration" collection; the written
+    ``act_scale`` params replace the per-token absmax reduction, and
+    the static full-int8 logits stay close to the dynamic full-int8
+    logits on the calibration distribution."""
+    from neurst_tpu.layers.quantization import quant_layers
+    from neurst_tpu.utils.checkpoints import flatten_params, restore_into
+
+    plain = _model()
+    params_f = plain.init_params(jax.random.PRNGKey(0))
+    flat = {k: np.asarray(v) for k, v in flatten_params(params_f).items()}
+    batch = _batch()
+
+    # dynamic full-int8 reference
+    quant_layers.set_int8_serving(True, activations=True)
+    try:
+        m_dyn = _model()
+        tmpl = m_dyn.init_params(jax.random.PRNGKey(1))
+        flat_q = quant_layers.int8ify_flat_params(flat,
+                                                  flatten_params(tmpl))
+        params_dyn, _, missing = restore_into(tmpl, flat_q)
+        assert not missing, missing
+        logits_dyn = np.asarray(m_dyn.call(params_dyn, batch))
+    finally:
+        quant_layers.set_int8_serving(False)
+
+    # static: calibrate on the same batch, then serve
+    quant_layers.set_int8_serving(True, activations=True,
+                                  static_activation_scales=True)
+    try:
+        m_st = _model()
+        tmpl = m_st.init_params(jax.random.PRNGKey(1))
+        tmpl_flat = flatten_params(tmpl)
+        snames = [n for n in tmpl_flat if n.endswith("act_scale")]
+        assert snames, "static mode declared no act_scale params"
+        flat_q = quant_layers.int8ify_flat_params(flat, tmpl_flat)
+        params_st, _, missing = restore_into(tmpl, flat_q)
+        # act_scale is not in the checkpoint: calibration fills it
+        assert all(n.endswith("act_scale") for n in missing), missing
+        params_st = quant_layers.calibrate_int8_act_scales(
+            m_st, params_st, [batch])
+        written = [float(np.asarray(v)) for n, v in
+                   flatten_params(params_st).items()
+                   if n.endswith("act_scale")]
+        assert any(abs(s - 1.0) > 1e-6 for s in written), written
+        assert all(s > 0 for s in written)
+        logits_st = np.asarray(m_st.call(params_st, batch))
+    finally:
+        quant_layers.set_int8_serving(False)
+
+    # per-tensor static scales are coarser than per-token dynamic ones;
+    # on the calibration batch they must stay close
+    assert np.max(np.abs(logits_st - logits_dyn)) < 0.5, \
+        np.max(np.abs(logits_st - logits_dyn))
+
+
+def test_static_act_scales_require_full_int8():
+    from neurst_tpu.layers.quantization import quant_layers
+    quant_layers.set_int8_serving(True, activations=True,
+                                  static_activation_scales=True)
+    try:
+        with pytest.raises(ValueError):
+            # not in static mode anymore after turning serving off
+            quant_layers.set_int8_serving(False)
+            quant_layers.calibrate_int8_act_scales(None, {}, [])
+    finally:
+        quant_layers.set_int8_serving(False)
+    # static without activations is ignored (weight-only has no
+    # activation quantization to make static)
+    quant_layers.set_int8_serving(True, activations=False,
+                                  static_activation_scales=True)
+    try:
+        from neurst_tpu.layers.quantization.quant_layers import \
+            _INT8_SERVING
+        assert not _INT8_SERVING["static_act"]
+    finally:
+        quant_layers.set_int8_serving(False)

@@ -393,3 +393,45 @@ def test_bf16_params_resume_restores_master(tmp_path, caplog):
         [m for m in msgs if "optimizer" in m.lower()]
     ckpt8 = np.load(os.path.join(model_dir, "ckpt-8.npz"))
     assert all(str(ckpt8[k].dtype) == "float32" for k in ckpt8.files)
+
+
+@pytest.mark.slow
+def test_int8_static_activation_predict_cli(tmp_path, caplog):
+    """--int8_serving --int8_activations --int8_static_activations:
+    the predict entry self-calibrates the static activation scales on
+    its own first-pass hypotheses (PTQ calibration, no references
+    needed), then decodes the corpus with per-tensor int8 activation
+    scales (no per-token absmax reduction in the served graph)."""
+    from neurst_tpu.cli.run_exp import cli_main
+    from neurst_tpu.layers.quantization.quant_layers import (
+        int8_serving_enabled, set_int8_serving)
+    model_dir = str(tmp_path / "model")
+    _train(tmp_path, model_dir,
+           ["--train_steps", "20", "--save_checkpoint_steps", "20",
+            "--summary_steps", "10"])
+
+    out = str(tmp_path / "hypo_int8_static.txt")
+    try:
+        with caplog.at_level(logging.INFO):
+            cli_main(
+                ["--entry", "predict", "--model_dir", model_dir,
+                 "--dataset.class", "parallel_text",
+                 "--dataset.params",
+                 "{src_file: tests/examples/dev.src, "
+                 "trg_file: tests/examples/dev.trg}",
+                 "--search_method.class", "beam_search",
+                 "--search_method.params",
+                 "{beam_size: 2, maximum_decode_length: 20}",
+                 "--int8_serving", "--int8_activations",
+                 "--int8_static_activations",
+                 "--int8_calibration_batches", "1",
+                 "--metric", "bleu", "--output_file", out])
+    finally:
+        set_int8_serving(False)
+    assert not int8_serving_enabled()
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("Calibrated static int8 activation scales" in m
+               for m in msgs), [m for m in msgs if "int8" in m.lower()]
+    assert os.path.exists(out)
+    lines = open(out, encoding="utf-8").read().splitlines()
+    assert len(lines) == 24
