@@ -44,9 +44,24 @@ md): recipes should set realistic max lengths.  Beam-shared K/V
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Wall-clock budget: the headline decode + train/MFU numbers always
+# run; the optional extras (dtype A/B, long-audio, compile-time) each
+# check the remaining budget first and are reported as "skipped
+# (deadline)" when it runs out — ONE honest JSON line either way.
+# Each jit compile costs 20-40 s over the axon tunnel and the full
+# suite has ~14 distinct compiles, so an unbounded run can exceed 15
+# minutes.
+BENCH_DEADLINE_S = float(os.environ.get("NEURST_BENCH_DEADLINE", 480))
+_START = time.time()
+
+
+def _remaining():
+    return BENCH_DEADLINE_S - (time.time() - _START)
 
 # Measured once with the JAX CPU backend on this host (1 vCPU), same
 # model/beam settings (batch 4): ~0.99 utt/s.  North-star (BASELINE.json)
@@ -437,13 +452,25 @@ def main():
     _probe_devices()
     import jax
 
+    # headline numbers first (always run) ...
     utt_per_sec, rtf, decode_configs = bench_decode(jax)
-    decode_dtype = bench_decode_dtype(jax)
     train_tok_s, train_step_s, mfu = bench_train(jax)
     bf16_tok_s, bf16_step_s, bf16_mfu = bench_train(jax, bf16_params=True)
-    long_audio = bench_long_audio(jax)
-    long_train = bench_long_audio_train(jax)
-    scan_compile = bench_scan_compile(jax)
+
+    # ... then budget-gated extras, costliest-compile-count first
+    def gated(need_s, fn):
+        if _remaining() < need_s:
+            return f"skipped (deadline: {_remaining():.0f}s left, " \
+                   f"needs ~{need_s:.0f}s)"
+        try:
+            return fn(jax)
+        except Exception as e:  # noqa: BLE001 — keep the JSON line honest
+            return f"error: {e!r}"
+
+    decode_dtype = gated(180, bench_decode_dtype)
+    long_audio = gated(90, bench_long_audio)
+    long_train = gated(110, bench_long_audio_train)
+    scan_compile = gated(70, bench_scan_compile)
     print(json.dumps({
         "metric": "st_beam4_decode_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 3),
@@ -463,9 +490,11 @@ def main():
                   "bf16_params_step_ms": round(bf16_step_s * 1000, 1),
                   "bf16_params_mfu": round(bf16_mfu, 3),
                   "long_audio_encode": dict(
-                      long_audio, batch=LONG_BATCH, frames=LONG_FRAMES),
+                      long_audio, batch=LONG_BATCH, frames=LONG_FRAMES)
+                  if isinstance(long_audio, dict) else long_audio,
                   "long_audio_train": dict(
-                      long_train, batch=LONG_BATCH, frames=LONG_FRAMES),
+                      long_train, batch=LONG_BATCH, frames=LONG_FRAMES)
+                  if isinstance(long_train, dict) else long_train,
                   "scan_layers_compile": scan_compile},
     }))
 

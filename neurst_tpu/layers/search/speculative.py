@@ -41,7 +41,100 @@ from neurst_tpu.layers.search.sequence_search import (SequenceSearch,
                                                       register_search_layer)
 from neurst_tpu.utils.flags_core import Flag
 
-__all__ = ["speculative_greedy_decode", "SpeculativeDecode"]
+__all__ = ["speculative_greedy_decode", "make_ngram_draft",
+           "SpeculativeDecode"]
+
+
+def make_ngram_draft(batch, buffer_len, vocab_size, ngram=3, prefix=None):
+    """Self-drafting n-gram lookup "model" (prompt-lookup decoding,
+    arXiv:2304.04487 LLMA / saxena'23): each draft step proposes the
+    continuation of the most recent earlier occurrence of the current
+    (ngram-1)-token suffix within the already-generated tokens,
+    optionally preceded by a lookup ``prefix`` (the source sentence for
+    copy-heavy MT with a shared vocabulary, or the LM prompt).
+
+    No second model, no weights, no extra HBM traffic: a draft step is
+    one [B, L, n-1] integer compare, so the speculative loop costs
+    ~only the target's multi-token verification passes.  Greedy
+    speculative decode stays EXACT regardless of proposal quality —
+    the lookup hits only decide how many tokens commit per target pass
+    (numbers, named entities, terminology repeats).  Once a span
+    match starts, subsequent draft steps extend it (each drafted token
+    is written into the buffer before the next lookup), so whole
+    copied spans commit in one verification.
+
+    The returned ``steps_fn(ids [B,1], cache, times [B])`` and ``init``
+    satisfy the draft contract of ``speculative_greedy_decode``; the
+    draft "cache" is the token buffer itself, and the same
+    stale-beyond-time overwrite discipline as the attention caches
+    applies (every call writes its own position before matching, and
+    continuations beyond the call time are masked out).
+
+    Args:
+        batch: number of rows.
+        buffer_len: generated-token capacity; must cover
+            ``maximum_decode_length + speculative_k`` (the same
+            no-clamp contract as the model caches).
+        vocab_size: target vocabulary size (proposal one-hot width).
+        ngram: total n-gram order; the suffix matched is the last
+            ``ngram - 1`` tokens.
+        prefix: optional int32 [B, P] lookup context prepended to the
+            buffer (use -1 at padded positions: it never equals a real
+            token, so pads can't match).
+    """
+    n = int(ngram)
+    if n < 2:
+        raise ValueError(f"ngram draft needs ngram >= 2, got {n}")
+    gen = jnp.full([batch, buffer_len], -1, jnp.int32)
+    if prefix is not None:
+        prefix = jnp.asarray(prefix, jnp.int32)
+        p_len = int(prefix.shape[1])
+        init_buf = jnp.concatenate([prefix, gen], axis=1)
+    else:
+        p_len = 0
+        init_buf = gen
+    total = p_len + buffer_len
+    n_windows = total - (n - 1)
+    if n_windows < 1:
+        raise ValueError(
+            f"buffer ({total}) shorter than the ngram window ({n})")
+
+    def steps_fn(ids, cache, times):
+        buf = cache["buffer"]
+        ids0 = ids[:, 0].astype(jnp.int32)
+        pos = p_len + times  # [B]: this call's write position
+        buf = jax.vmap(
+            lambda row, v, t: jax.lax.dynamic_update_slice(
+                row, v[None], (t,)))(buf, ids0, pos)
+        # suffix = the last (n-1) known tokens ending at pos (clamped
+        # early indices duplicate position 0; their windows are masked
+        # out by the continuation bound below)
+        offs = jnp.arange(n - 1) - (n - 2)
+        sidx = jnp.maximum(pos[:, None] + offs[None, :], 0)
+        suffix = jnp.take_along_axis(buf, sidx, axis=1)        # [B, n-1]
+        windows = jnp.stack(
+            [buf[:, i:n_windows + i] for i in range(n - 1)],
+            axis=-1)                                           # [B, W, n-1]
+        cont = buf[:, n - 1:]                                  # [B, W]
+        starts = jnp.arange(n_windows)[None, :]
+        ok = jnp.logical_and(
+            jnp.all(windows == suffix[:, None, :], axis=-1),
+            # the continuation token at starts + n - 1 must already be
+            # known (this also excludes the trivial self-match, whose
+            # continuation would be the unknown next token)
+            starts + (n - 1) <= pos[:, None])
+        best = jnp.max(jnp.where(ok, starts, -1), axis=1)      # [B]
+        proposal = jnp.take_along_axis(
+            cont, jnp.maximum(best, 0)[:, None], axis=1)[:, 0]
+        # no match: repeat the last token (correctness is unaffected;
+        # a miss just means this slot won't verify)
+        proposal = jnp.where(best >= 0, proposal, ids0)
+        proposal = jnp.clip(proposal, 0, vocab_size - 1)
+        logits = jax.nn.one_hot(
+            proposal, vocab_size, dtype=jnp.float32) * 1e4
+        return logits[:, None, :], {"buffer": buf}
+
+    return steps_fn, {"decoder_internal_cache": {"buffer": init_buf}}
 
 
 def speculative_greedy_decode(target_steps_fn, target_init,
@@ -288,6 +381,21 @@ class SpeculativeDecode(SequenceSearch):
                  help="Model dir of the (small) draft model: "
                       "model_configs.yml + checkpoint; must share the "
                       "target's target-side vocabulary."),
+            Flag("draft_method", dtype=Flag.TYPE.STRING, default="model",
+                 choices=["model", "ngram"],
+                 help="'model': a draft model from --draft_model_dir. "
+                      "'ngram': SELF-drafting prompt-lookup — proposals "
+                      "come from matching the current suffix against "
+                      "the already-generated tokens (and optionally the "
+                      "source/prompt); no second model needed."),
+            Flag("draft_ngram", dtype=Flag.TYPE.INTEGER, default=3,
+                 help="n-gram order for --draft_method ngram (the "
+                      "matched suffix is n-1 tokens)."),
+            Flag("draft_lookup_source", dtype=Flag.TYPE.BOOLEAN,
+                 default=False,
+                 help="With --draft_method ngram: also match against "
+                      "the source token ids (requires a shared "
+                      "source/target vocabulary, e.g. joint BPE)."),
             Flag("speculative_k", dtype=Flag.TYPE.INTEGER, default=4,
                  help="Draft tokens proposed (and verified in one "
                       "target pass) per iteration."),
@@ -326,6 +434,8 @@ class SpeculativeDecode(SequenceSearch):
     def _ensure_draft(self):
         if self._draft_model is not None:
             return
+        if self._args.get("draft_method") == "ngram":
+            return  # self-drafting: no model to load
         draft_dir = self._args.get("draft_model_dir")
         if not draft_dir:
             raise ValueError(
@@ -364,6 +474,33 @@ class SpeculativeDecode(SequenceSearch):
         self._draft_params, _ = restore_inference_params(
             self._draft_model, params, flat)
 
+    def _make_ngram_draft(self, t_init, parsed_inp, buffer_len):
+        """Builds the self-drafting lookup draft: the lookup context is
+        the LM prompt (2-D ``trg_input``) and, with
+        ``--draft_lookup_source``, the source token ids (pads -> -1)."""
+        batch = t_init["decoder_input"].shape[0]
+        vocab = self._model.trg_meta.get("vocab_size")
+        parts = []
+        trg_input = parsed_inp.get("trg_input")
+        if trg_input is not None and jnp.ndim(trg_input) == 2:
+            parts.append(jnp.asarray(trg_input, jnp.int32))
+        if self._args.get("draft_lookup_source"):
+            src = parsed_inp.get("src")
+            if src is None or jnp.ndim(src) != 2 or \
+                    not jnp.issubdtype(jnp.asarray(src).dtype, jnp.integer):
+                raise ValueError(
+                    "--draft_lookup_source needs integer source token "
+                    "ids (text tasks with a shared vocabulary)")
+            src = jnp.asarray(src, jnp.int32)
+            pad = parsed_inp.get("src_padding")
+            if pad is not None:
+                src = jnp.where(jnp.asarray(pad) > 0, -1, src)
+            parts.append(src)
+        prefix = jnp.concatenate(parts, axis=1) if parts else None
+        return make_ngram_draft(
+            batch, buffer_len, vocab,
+            ngram=self._args.get("draft_ngram") or 3, prefix=prefix)
+
     def __call__(self, params, parsed_inp: dict, rng=None):
         a = self._args
         self._ensure_draft()
@@ -374,11 +511,16 @@ class SpeculativeDecode(SequenceSearch):
         # would shift it onto valid positions)
         t_fn, t_init = self._model.prepare_speculative(
             params, parsed_inp, decode_padded_length=max_len + k)
-        d_fn, d_init = self._draft_model.prepare_speculative(
-            self._draft_params, parsed_inp, decode_padded_length=max_len + k)
-        if self._draft_model.trg_meta.get("vocab_size") != \
-                self._model.trg_meta.get("vocab_size"):
-            raise ValueError("draft/target vocabulary sizes differ")
+        if a.get("draft_method") == "ngram":
+            d_fn, d_init = self._make_ngram_draft(t_init, parsed_inp,
+                                                  max_len + k)
+        else:
+            d_fn, d_init = self._draft_model.prepare_speculative(
+                self._draft_params, parsed_inp,
+                decode_padded_length=max_len + k)
+            if self._draft_model.trg_meta.get("vocab_size") != \
+                    self._model.trg_meta.get("vocab_size"):
+                raise ValueError("draft/target vocabulary sizes differ")
         if rng is None:
             rng = jax.random.PRNGKey(a.get("seed") or 0)
         return speculative_greedy_decode(

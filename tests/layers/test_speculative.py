@@ -428,3 +428,180 @@ def test_speculative_search_layer_registered():
     assert type(layer).__name__ == "SpeculativeDecode"
     with pytest.raises(ValueError):
         layer._ensure_draft()  # no draft_model_dir configured
+
+
+def test_ngram_draft_proposes_copied_spans():
+    """Unit: the lookup draft continues the most recent earlier
+    occurrence of the current suffix, falls back to repeat-last on a
+    miss, and never lets the trivial self-match through."""
+    from neurst_tpu.layers.search.speculative import make_ngram_draft
+
+    steps_fn, init = make_ngram_draft(batch=1, buffer_len=12,
+                                      vocab_size=20, ngram=3)
+    cache = init["decoder_internal_cache"]
+    seq = [19, 5, 6, 7, 8, 5, 6]  # BOS then emitted tokens
+    proposals = []
+    for t, tok in enumerate(seq):
+        logits, cache = steps_fn(np.array([[tok]], np.int32), cache,
+                                 jnp.asarray([t], jnp.int32))
+        proposals.append(int(np.argmax(np.asarray(logits)[0, 0])))
+    # at t=1 the suffix [19, 5] has no earlier occurrence -> repeat 5
+    assert proposals[1] == 5
+    # at t=6 the suffix [5, 6] matched positions 1..2 -> continue 7
+    assert proposals[6] == 7
+    # buffer recorded the fed sequence
+    buf = np.asarray(cache["buffer"])[0]
+    assert list(buf[:7]) == seq and buf[7] == -1
+
+
+def test_ngram_draft_prefix_lookup():
+    """A prefix (source/prompt) participates in matching; -1 pads
+    never match."""
+    from neurst_tpu.layers.search.speculative import make_ngram_draft
+
+    prefix = np.array([[11, 12, 13, -1]], np.int32)
+    steps_fn, init = make_ngram_draft(batch=1, buffer_len=8,
+                                      vocab_size=20, ngram=2,
+                                      prefix=prefix)
+    cache = init["decoder_internal_cache"]
+    # feed BOS then 12: suffix [12] matches prefix pos 1 -> continue 13
+    logits, cache = steps_fn(np.array([[19]], np.int32), cache,
+                             jnp.asarray([0], jnp.int32))
+    logits, cache = steps_fn(np.array([[12]], np.int32), cache,
+                             jnp.asarray([1], jnp.int32))
+    assert int(np.argmax(np.asarray(logits)[0, 0])) == 13
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_ngram_speculative_equals_greedy(k):
+    """Self-drafted (no second model) speculative decode is EXACTLY the
+    target's greedy decode."""
+    from neurst_tpu.layers.search.sampling import sequence_sampling
+    from neurst_tpu.layers.search.speculative import (
+        make_ngram_draft, speculative_greedy_decode)
+
+    target = _model(layers=2)
+    params_t = target.init_params(jax.random.PRNGKey(1))
+    inputs = _inputs()
+    max_len = 14
+    s2l, init = target.prepare_generation(params_t, inputs,
+                                          decode_padded_length=max_len)
+    ids_ref, lp_ref = sequence_sampling(
+        s2l, init, jax.random.PRNGKey(0), top_k=1,
+        maximum_decode_length=max_len, extra_decode_length=max_len)
+    t_fn, t_init = target.prepare_speculative(
+        params_t, inputs, decode_padded_length=max_len + k)
+    d_fn, d_init = make_ngram_draft(
+        batch=3, buffer_len=max_len + k,
+        vocab_size=META["vocab_size"], ngram=3)
+    ids_spec, lp_spec = speculative_greedy_decode(
+        t_fn, t_init, d_fn, d_init, speculative_k=k,
+        maximum_decode_length=max_len, extra_decode_length=max_len)
+    assert _truncate_at_eos(ids_spec) == _truncate_at_eos(ids_ref)
+    np.testing.assert_allclose(np.asarray(lp_spec), np.asarray(lp_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ngram_search_layer_no_draft_dir_needed():
+    """--draft_method ngram through the registered search layer: no
+    --draft_model_dir, output equals plain greedy; with
+    --draft_lookup_source the source ids join the lookup context."""
+    from neurst_tpu.layers.search.sampling import sequence_sampling
+    from neurst_tpu.layers.search.sequence_search import \
+        build_search_layer
+
+    target = _model(layers=2)
+    params_t = target.init_params(jax.random.PRNGKey(1))
+    inputs = _inputs()
+    max_len = 14
+    s2l, init = target.prepare_generation(params_t, inputs,
+                                          decode_padded_length=max_len)
+    ids_ref, _ = sequence_sampling(
+        s2l, init, jax.random.PRNGKey(0), top_k=1,
+        maximum_decode_length=max_len, extra_decode_length=max_len)
+    for lookup_src in (False, True):
+        layer = build_search_layer({
+            "search_method.class": "speculative_decode",
+            "search_method.params": {
+                "draft_method": "ngram", "speculative_k": 3,
+                "draft_lookup_source": lookup_src,
+                "maximum_decode_length": max_len,
+                "extra_decode_length": max_len}})
+        layer.set_model(target)
+        layer.prepare()  # must not demand a draft_model_dir
+        ids_spec, _ = layer(params_t, {k: jnp.asarray(v)
+                                       for k, v in inputs.items()})
+        assert _truncate_at_eos(ids_spec) == _truncate_at_eos(ids_ref)
+
+
+def test_gpt2_ngram_speculative_uses_prompt(monkeypatch):
+    """LM self-drafted decode: equals plain greedy, and the prompt is
+    part of the lookup context (prefix buffer)."""
+    from neurst_tpu.layers.search.sampling import sequence_sampling
+    from neurst_tpu.layers.search import speculative as spec_mod
+    from neurst_tpu.layers.search.sequence_search import \
+        build_search_layer
+    from neurst_tpu.models.gpt2 import GPT2
+    from neurst_tpu.models.model import build_model
+
+    cfg = GPT2.build_model_args_by_name("gpt2_toy")
+    params_cfg = dict(cfg["model.params"])
+    params_cfg["dropout_rate"] = 0.0
+    params_cfg["dtype"] = "float32"
+    target = build_model(dict(cfg, **{"model.params": params_cfg}),
+                         src_meta=META, trg_meta=META)
+    params_t = target.init_params(jax.random.PRNGKey(0))
+    prompt = {"trg_input": np.array([[5, 6, 7], [8, 9, 10]], np.int32)}
+    max_len = 10
+
+    s2l, init = target.prepare_generation(params_t, prompt,
+                                          decode_padded_length=max_len)
+    ids_ref, _ = sequence_sampling(
+        s2l, init, jax.random.PRNGKey(0), top_k=1,
+        maximum_decode_length=max_len, extra_decode_length=max_len)
+
+    seen = {}
+    orig = spec_mod.make_ngram_draft
+
+    def spy(*args, **kwargs):
+        seen["prefix"] = kwargs.get("prefix")
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(spec_mod, "make_ngram_draft", spy)
+    layer = build_search_layer({
+        "search_method.class": "speculative_decode",
+        "search_method.params": {
+            "draft_method": "ngram", "speculative_k": 3,
+            "maximum_decode_length": max_len,
+            "extra_decode_length": max_len}})
+    layer.set_model(target)
+    ids_spec, _ = layer(params_t, {"trg_input":
+                                   jnp.asarray(prompt["trg_input"])})
+    assert _truncate_at_eos(ids_spec) == _truncate_at_eos(ids_ref)
+    assert seen["prefix"] is not None and seen["prefix"].shape == (2, 3)
+
+
+def test_ngram_speculative_sampling_smoke():
+    """Sampling mode with the deterministic (one-hot q) draft: the
+    acceptance-rejection math degenerates to accept-with-prob-p +
+    residual resample; decode terminates with in-vocab tokens."""
+    from neurst_tpu.layers.search.speculative import (
+        make_ngram_draft, speculative_greedy_decode)
+
+    target = _model(layers=2)
+    params_t = target.init_params(jax.random.PRNGKey(1))
+    inputs = _inputs()
+    max_len = 8
+    t_fn, t_init = target.prepare_speculative(
+        params_t, inputs, decode_padded_length=max_len + 3)
+    d_fn, d_init = make_ngram_draft(
+        batch=3, buffer_len=max_len + 3,
+        vocab_size=META["vocab_size"], ngram=3)
+    ids, _ = speculative_greedy_decode(
+        t_fn, t_init, d_fn, d_init, speculative_k=3,
+        maximum_decode_length=max_len, extra_decode_length=max_len,
+        sampling=True, top_k=5, rng=jax.random.PRNGKey(7))
+    ids = np.asarray(ids)
+    assert ids.shape == (3, max_len)
+    assert ids.min() >= 0 and ids.max() < META["vocab_size"]
+    assert not np.any(ids == META["unk_id"])
