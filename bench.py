@@ -333,6 +333,85 @@ def bench_long_audio_train(jax):
     return times
 
 
+def bench_speculative(jax):
+    """On-chip speculative-decoding economics at an MT serving shape
+    (transformer_base, batch 16, forced 64-token outputs): plain greedy
+    vs self-drafted (ngram prompt-lookup) speculative k=4.  Reports the
+    REALIZED commit rate (tokens emitted per target forward pass) and
+    the wall-clock ratio.  Weights are untrained, so the commit rate
+    reflects the repetition structure of random-model greedy output —
+    the machinery cost per target pass and the rate->speedup mapping
+    are the hardware quantities being measured (acceptance on a real
+    checkpoint depends on the corpus; greedy output is exact either
+    way, so speedup == commit rate economics)."""
+    from functools import partial
+
+    from neurst_tpu.layers.search.sampling import sequence_sampling
+    from neurst_tpu.layers.search.speculative import (
+        make_ngram_draft, speculative_greedy_decode)
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.models.transformer import Transformer
+
+    meta = {"vocab_size": TRAIN_VOCAB, "eos_id": 1, "bos_id": 2,
+            "unk_id": 3}
+    cfg = dict(Transformer.build_model_args_by_name(
+        "transformer_base")["model.params"])
+    cfg["dtype"] = "bfloat16"
+    model = build_model(
+        {"model.class": "transformer", "model.params": cfg},
+        src_meta=meta, trg_meta=meta)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    b, src_len, md, k = 16, 32, 64, 4
+    rng = np.random.RandomState(7)
+    src = rng.randint(4, TRAIN_VOCAB, size=[b, src_len]).astype(np.int32)
+    inputs = {
+        "src": jax.device_put(src),
+        "src_padding": jax.device_put(np.zeros([b, src_len], np.float32)),
+    }
+
+    @jax.jit
+    def plain(params, inputs):
+        s2l, init = model.prepare_generation(
+            params, inputs, decode_padded_length=md)
+        return sequence_sampling(
+            s2l, init, jax.random.PRNGKey(0), top_k=1,
+            maximum_decode_length=md, extra_decode_length=md,
+            minimum_decode_length=md - 1)
+
+    @jax.jit
+    def spec(params, inputs):
+        t_fn, t_init = model.prepare_speculative(
+            params, inputs, decode_padded_length=md + k)
+        d_fn, d_init = make_ngram_draft(
+            b, md + k, TRAIN_VOCAB, ngram=3, prefix=inputs["src"])
+        return speculative_greedy_decode(
+            t_fn, t_init, d_fn, d_init, speculative_k=k,
+            maximum_decode_length=md, extra_decode_length=md,
+            minimum_decode_length=md - 1, return_stats=True)
+
+    plain_s = _median_time(lambda: plain(params, inputs),
+                           lambda out: np.asarray(out[0]),
+                           warmup=1, iters=3, chain=4)
+    holder = {}
+
+    def run_spec():
+        ids, lp, stats = spec(params, inputs)
+        holder["stats"] = stats
+        return ids
+
+    spec_s = _median_time(lambda: run_spec(),
+                          lambda out: np.asarray(out),
+                          warmup=1, iters=3, chain=4)
+    passes = int(np.asarray(holder["stats"]["target_passes"]))
+    emitted = float(np.mean(np.asarray(holder["stats"]["tokens_emitted"])))
+    return {"plain_greedy_ms": round(plain_s * 1000, 1),
+            "spec_ngram_k4_ms": round(spec_s * 1000, 1),
+            "speedup": round(plain_s / spec_s, 2),
+            "commit_rate_tok_per_pass": round(emitted / max(passes, 1), 2),
+            "batch": b, "max_decode": md}
+
+
 def bench_scan_compile(jax):
     """Wall-clock compile seconds for a deep (12-layer) encoder forward:
     per-layer loop vs encoder.scan_layers (one traced layer)."""
@@ -470,6 +549,7 @@ def main():
     decode_dtype = gated(180, bench_decode_dtype)
     long_audio = gated(90, bench_long_audio)
     long_train = gated(110, bench_long_audio_train)
+    speculative = gated(100, bench_speculative)
     scan_compile = gated(70, bench_scan_compile)
     print(json.dumps({
         "metric": "st_beam4_decode_utterances_per_sec_per_chip",
@@ -495,6 +575,7 @@ def main():
                   "long_audio_train": dict(
                       long_train, batch=LONG_BATCH, frames=LONG_FRAMES)
                   if isinstance(long_train, dict) else long_train,
+                  "speculative_decode": speculative,
                   "scan_layers_compile": scan_compile},
     }))
 

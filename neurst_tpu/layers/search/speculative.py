@@ -148,7 +148,8 @@ def speculative_greedy_decode(target_steps_fn, target_init,
                               rng=None,
                               temperature: float = 1.0,
                               top_k: int = 0,
-                              top_p: float = 1.0):
+                              top_p: float = 1.0,
+                              return_stats: bool = False):
     """Greedy (or sampling) decode of the target model, accelerated by
     a draft model.
 
@@ -174,7 +175,12 @@ def speculative_greedy_decode(target_steps_fn, target_init,
     Returns:
         (hypotheses int32 [B, maximum_decode_length], scores float32
          [B] — cumulative target log-prob of the emitted tokens, same
-         semantics as the plain searches).
+         semantics as the plain searches).  With ``return_stats`` a
+        third dict is appended: ``target_passes`` (while-loop
+        iterations == target forward passes, int32 scalar) and
+        ``tokens_emitted`` (int32 [B]) — ``mean(tokens_emitted) /
+        target_passes`` is the realized commit rate per pass, the
+        quantity that decides whether speculation pays.
     """
     k = int(speculative_k)
     assert k >= 1
@@ -227,6 +233,7 @@ def speculative_greedy_decode(target_steps_fn, target_init,
         predicted=jnp.zeros([batch, maximum_decode_length + k], jnp.int32),
         target_cache=target_init["decoder_internal_cache"],
         draft_cache=draft_init["decoder_internal_cache"],
+        iters=jnp.zeros([], jnp.int32),
     )
     if sampling:
         init_state["rng"] = rng
@@ -354,6 +361,7 @@ def speculative_greedy_decode(target_steps_fn, target_init,
             predicted=predicted,
             target_cache=target_cache,
             draft_cache=draft_cache,
+            iters=state["iters"] + 1,
         )
         if sampling:
             out["rng"] = next_rng
@@ -365,6 +373,11 @@ def speculative_greedy_decode(target_steps_fn, target_init,
     positions = jnp.arange(maximum_decode_length + k)[None, :]
     predicted = jnp.where(positions < final["times"][:, None],
                           final["predicted"], eos_id)
+    if return_stats:
+        stats = {"target_passes": final["iters"],
+                 "tokens_emitted": final["times"]}
+        return (predicted[:, :maximum_decode_length],
+                final["log_probs"], stats)
     return predicted[:, :maximum_decode_length], final["log_probs"]
 
 
