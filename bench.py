@@ -11,8 +11,12 @@ exact workload (CPU_BASELINE_UTT_PER_SEC, measured on this host).
 
 ``extra`` additionally captures a transformer_base training step
 (WMT-style MT, vocab 32k, bf16): target tokens/s/chip and model FLOPs
-utilization against the v5e bf16 peak (197 TFLOP/s), for the default
-f32-param policy AND the --bf16_params (f32-master) option.
+utilization against the v5e bf16 peak (197 TFLOP/s).  The headline
+train config is bf16 params with an f32 master in the optimizer (the
+trainer default; checkpoints stay f32); the plain f32-param policy is
+reported as a gated extra A/B, alongside serving-dtype A/Bs,
+speculative decoding economics, long-audio flash, MoE routing overhead
+and scan-layers compile time.
 
 Round-3 component profile (measured on v5e, [256,128]): the r2 step
 (254 ms, MFU 0.25) decomposed into model fwd+bwd 241 ms / CE 29 ms,
@@ -50,14 +54,35 @@ import time
 import numpy as np
 
 # Wall-clock budget: the headline decode + train/MFU numbers always
-# run; the optional extras (dtype A/B, long-audio, compile-time) each
-# check the remaining budget first and are reported as "skipped
-# (deadline)" when it runs out — ONE honest JSON line either way.
-# Each jit compile costs 20-40 s over the axon tunnel and the full
-# suite has ~14 distinct compiles, so an unbounded run can exceed 15
-# minutes.
+# run; the optional extras (dtype A/B, long-audio, speculative, MoE,
+# compile-time) each check the remaining budget first and are reported
+# as "skipped (deadline)" when it runs out — ONE honest JSON line
+# either way.  Each jit compile costs 20-40 s over the axon tunnel
+# COLD; this file therefore enables the framework's persistent XLA
+# compilation cache (same machinery as --compilation_cache_dir,
+# cli/run_exp.py) in `.xla_cache/` next to this file.  The repo ships
+# that directory pre-warmed, so a driver run recompiles nothing and
+# the full suite (~18 distinct programs) fits the 480 s budget; on a
+# cold machine the gates below still degrade honestly to "skipped".
 BENCH_DEADLINE_S = float(os.environ.get("NEURST_BENCH_DEADLINE", 480))
 _START = time.time()
+
+
+def _setup_compilation_cache():
+    import jax
+    cache_dir = os.environ.get(
+        "NEURST_BENCH_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".xla_cache"))
+    if cache_dir and cache_dir != "0":
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+        try:
+            jax.config.update(
+                "jax_persistent_cache_min_entry_size_bytes", 0)
+        except Exception:  # noqa: BLE001 — older jax: flag absent
+            pass
 
 
 def _remaining():
@@ -144,18 +169,24 @@ def bench_decode(jax):
             minimum_decode_length=MAX_DECODE - 1,  # force full-length decode
             prefix_decode_chunk=prefix_chunk)
 
-    # plain full-length loop vs chunked prefix decode (reads ~valid
-    # cache prefix per step; exact) — headline takes the faster config
-    per_config = {}
-    for label, chunk in (("plain", 0), ("chunked", 16)):
-        elapsed = _median_time(lambda: decode(params, inputs, chunk),
-                               lambda out: np.asarray(out[0]),
-                               WARMUP, ITERS, chain=8)
-        per_config[label] = BATCH / elapsed
-    utt_per_sec = max(per_config.values())
+    # ONE headline config: chunked prefix decode (reads ~the valid
+    # cache prefix per step; exact), the faster config of the round-3
+    # A/B.  The plain full-length loop moved to the gated extras.
+    elapsed = _median_time(lambda: decode(params, inputs, 16),
+                           lambda out: np.asarray(out[0]),
+                           WARMUP, ITERS, chain=8)
+    utt_per_sec = BATCH / elapsed
     audio_secs = FRAMES / 100.0
     rtf = 1.0 / (utt_per_sec * audio_secs)  # real-time factor (lower=better)
-    return utt_per_sec, rtf, per_config
+
+    def plain_extra(jax_mod):
+        el = _median_time(lambda: decode(params, inputs, 0),
+                          lambda out: np.asarray(out[0]),
+                          warmup=1, iters=5, chain=8)
+        return {"plain_utt_s": round(BATCH / el, 1),
+                "chunked_utt_s": round(utt_per_sec, 1)}
+
+    return utt_per_sec, rtf, plain_extra
 
 
 def bench_decode_dtype(jax):
@@ -343,9 +374,9 @@ def bench_speculative(jax):
     the machinery cost per target pass and the rate->speedup mapping
     are the hardware quantities being measured (acceptance on a real
     checkpoint depends on the corpus; greedy output is exact either
-    way, so speedup == commit rate economics)."""
-    from functools import partial
-
+    way, so speedup == commit rate economics).  The plain baseline
+    (sampling top_k=1) takes sampling's argmax fast path — zero RNG
+    work — so both sides do identical per-token math."""
     from neurst_tpu.layers.search.sampling import sequence_sampling
     from neurst_tpu.layers.search.speculative import (
         make_ngram_draft, speculative_greedy_decode)
@@ -410,6 +441,74 @@ def bench_speculative(jax):
             "speedup": round(plain_s / spec_s, 2),
             "commit_rate_tok_per_pass": round(emitted / max(passes, 1), 2),
             "batch": b, "max_decode": md}
+
+
+def bench_moe(jax):
+    """Dense vs Switch-MoE (8 experts, top-1, every 2nd FFN) training
+    tokens/s at MATCHED ACTIVE FLOPs: each token still runs exactly one
+    ffn=2048 expert, so the throughput gap is pure routing/dispatch
+    machinery cost — the serving question for conditional computation
+    (examples/moe/).  Single chip: expert weights are not sharded here;
+    the dryrun covers expert-parallel sharding."""
+    from neurst_tpu.criterions.label_smoothed_cross_entropy import \
+        LabelSmoothedCrossEntropy
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.models.transformer import Transformer
+    from neurst_tpu.optimizers.optimizers import Adam, create_optax_chain
+    from neurst_tpu.optimizers.schedules.lr_schedules import NoamSchedule
+    from neurst_tpu.parallel import TrainState, make_train_step
+
+    meta = {"vocab_size": TRAIN_VOCAB, "eos_id": 1, "bos_id": 2,
+            "unk_id": 3}
+    b, L = 128, TRAIN_LEN
+    rng = np.random.RandomState(0)
+    batch = {
+        "src": rng.randint(4, TRAIN_VOCAB, size=[b, L]).astype(np.int32),
+        "src_padding": np.zeros([b, L], np.float32),
+        "trg_input": rng.randint(4, TRAIN_VOCAB,
+                                 size=[b, L]).astype(np.int32),
+        "trg": rng.randint(4, TRAIN_VOCAB, size=[b, L]).astype(np.int32),
+        "trg_padding": np.zeros([b, L], np.float32),
+        "trg_length": np.full([b], L, np.int32),
+        "sample_mask": np.ones([b], np.float32),
+    }
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+    key = jax.random.PRNGKey(1)
+    criterion = LabelSmoothedCrossEntropy({"label_smoothing": 0.1})
+    out = {"batch": [b, L], "experts": 8}
+    for label, moe in (("dense_tok_s", 0), ("moe8_top1_tok_s", 8)):
+        cfg = dict(Transformer.build_model_args_by_name(
+            "transformer_base")["model.params"])
+        cfg["dtype"] = "bfloat16"
+        if moe:
+            for side in ("encoder", "decoder"):
+                cfg[f"{side}.moe_num_experts"] = moe
+                cfg[f"{side}.moe_layer_frequency"] = 2
+                cfg[f"{side}.moe_top_k"] = 1
+        model = build_model(
+            {"model.class": "transformer", "model.params": cfg},
+            src_meta=meta, trg_meta=meta)
+        params = model.init_params(jax.random.PRNGKey(0))
+        lr = NoamSchedule({"dmodel": 512, "warmup_steps": 4000,
+                           "initial_factor": 1.0})
+        tx = create_optax_chain(Adam({"epsilon": 1e-9, "beta_1": 0.9,
+                                      "beta_2": 0.98}), lr, clip_norm=1.0)
+        state = TrainState.create(params, tx)
+        step_fn = jax.jit(make_train_step(model, criterion, tx),
+                          donate_argnums=(0,))
+        holder = {"state": state}
+
+        def one_step():
+            new_state, metrics = step_fn(holder["state"], batch, key)
+            holder["state"] = new_state
+            return metrics
+
+        elapsed = _median_time(one_step, lambda m: float(m["loss"]),
+                               warmup=1, iters=3, chain=4)
+        out[label] = round(b * L / elapsed)
+    out["routing_overhead_pct"] = round(
+        100.0 * (1 - out["moe8_top1_tok_s"] / out["dense_tok_s"]), 1)
+    return out
 
 
 def bench_scan_compile(jax):
@@ -529,14 +628,18 @@ def _probe_devices(timeout_s=180):
 
 def main():
     _probe_devices()
+    _setup_compilation_cache()
     import jax
 
-    # headline numbers first (always run) ...
-    utt_per_sec, rtf, decode_configs = bench_decode(jax)
-    train_tok_s, train_step_s, mfu = bench_train(jax)
-    bf16_tok_s, bf16_step_s, bf16_mfu = bench_train(jax, bf16_params=True)
+    # headline numbers first (always run): ONE decode config (chunked
+    # prefix) + ONE train config (bf16 params with the f32 master —
+    # the trainer default; checkpoints stay f32)
+    utt_per_sec, rtf, decode_plain_extra = bench_decode(jax)
+    train_tok_s, train_step_s, mfu = bench_train(jax, bf16_params=True)
 
-    # ... then budget-gated extras, costliest-compile-count first
+    # ... then budget-gated extras, highest-value first.  Estimates
+    # assume the warm committed compilation cache; a cold machine
+    # overruns one gate and the rest degrade to "skipped" honestly.
     def gated(need_s, fn):
         if _remaining() < need_s:
             return f"skipped (deadline: {_remaining():.0f}s left, " \
@@ -546,11 +649,21 @@ def main():
         except Exception as e:  # noqa: BLE001 — keep the JSON line honest
             return f"error: {e!r}"
 
-    decode_dtype = gated(180, bench_decode_dtype)
-    long_audio = gated(90, bench_long_audio)
-    long_train = gated(110, bench_long_audio_train)
-    speculative = gated(100, bench_speculative)
-    scan_compile = gated(70, bench_scan_compile)
+    decode_dtype = gated(60, bench_decode_dtype)
+    speculative = gated(45, bench_speculative)
+
+    def f32_extra(jax_mod):
+        tok_s, step_s, f32_mfu = bench_train(jax_mod, bf16_params=False)
+        return {"tokens_per_sec": round(tok_s),
+                "step_ms": round(step_s * 1000, 1),
+                "mfu": round(f32_mfu, 3)}
+
+    train_f32 = gated(45, f32_extra)
+    long_audio = gated(35, bench_long_audio)
+    long_train = gated(40, bench_long_audio_train)
+    moe = gated(50, bench_moe)
+    decode_plain = gated(25, decode_plain_extra)
+    scan_compile = gated(45, bench_scan_compile)
     print(json.dumps({
         "metric": "st_beam4_decode_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 3),
@@ -558,17 +671,13 @@ def main():
         "vs_baseline": round(utt_per_sec / TARGET, 3),
         "extra": {"rtf": round(rtf, 5), "batch": BATCH, "frames": FRAMES,
                   "max_decode": MAX_DECODE, "beam": BEAM,
-                  "decode_utt_s_per_config": {
-                      k: round(v, 1) for k, v in decode_configs.items()},
                   "decode_dtype_ms": decode_dtype,
                   "train_model": "transformer_base_bf16",
                   "train_trg_tokens_per_sec_per_chip": round(train_tok_s),
                   "train_step_ms": round(train_step_s * 1000, 1),
                   "train_batch": [TRAIN_BATCH, TRAIN_LEN],
                   "mfu": round(mfu, 3),
-                  "bf16_params_tokens_per_sec": round(bf16_tok_s),
-                  "bf16_params_step_ms": round(bf16_step_s * 1000, 1),
-                  "bf16_params_mfu": round(bf16_mfu, 3),
+                  "train_f32_params": train_f32,
                   "long_audio_encode": dict(
                       long_audio, batch=LONG_BATCH, frames=LONG_FRAMES)
                   if isinstance(long_audio, dict) else long_audio,
@@ -576,6 +685,8 @@ def main():
                       long_train, batch=LONG_BATCH, frames=LONG_FRAMES)
                   if isinstance(long_train, dict) else long_train,
                   "speculative_decode": speculative,
+                  "moe_train": moe,
+                  "decode_chunking": decode_plain,
                   "scan_layers_compile": scan_compile},
     }))
 

@@ -152,6 +152,17 @@ class Trainer(BaseExperiment):
         model = self._model
         model_dir = self._model_dir
 
+        # bf16 stored params default ON for bf16-compute models (the
+        # f32 master keeps checkpoints f32, so this is numerics-safe;
+        # halves the parameter HBM reads — BENCH_r03 measured +3.5%
+        # tokens/s).  f32-compute models keep f32 storage.
+        if args.get("bf16_params") is None:
+            args["bf16_params"] = str(
+                model.args.get("dtype") or "").startswith("bfloat16")
+            if args["bf16_params"]:
+                logging.info("bf16_params defaulted ON "
+                             "(model dtype is bfloat16)")
+
         criterion = build_criterion(args)
 
         # ---------------- restore / init ---------------- #

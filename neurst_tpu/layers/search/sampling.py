@@ -91,6 +91,11 @@ def sequence_sampling(symbols_to_logits_fn, generation_initializer, rng,
     decoder_input = generation_initializer["decoder_input"]
     batch_size = decoder_input.shape[0]
     bb = batch_size * num_samples
+    # top_k=1 with no nucleus filter IS deterministic argmax: skip the
+    # per-step rng split, the top-k filter and the full-vocab threefry
+    # categorical (the categorical over a single surviving logit always
+    # returns it) — greedy decode pays zero RNG cost
+    greedy = (top_k == 1 and (not top_p or top_p >= 1.0))
 
     # memory/memory_padding stay [B, ...] — samples of one sentence
     # share encoder state; cross-attention groups the sample rows
@@ -130,14 +135,18 @@ def sequence_sampling(symbols_to_logits_fn, generation_initializer, rng,
         log_probs = masked_step_log_probs(
             logits, time, eos_id, unk_id, temperature,
             minimum_decode_length)
-        filtered = log_probs
-        if top_k and top_k > 0:
-            filtered = _filter_top_k(filtered, top_k)
-        if top_p and top_p < 1.0:
-            filtered = _filter_top_p(filtered, top_p)
+        if greedy:
+            sampled = jnp.argmax(log_probs, axis=-1)
+            next_rng = state["rng"]
+        else:
+            filtered = log_probs
+            if top_k and top_k > 0:
+                filtered = _filter_top_k(filtered, top_k)
+            if top_p and top_p < 1.0:
+                filtered = _filter_top_p(filtered, top_p)
 
-        step_rng, next_rng = jax.random.split(state["rng"])
-        sampled = jax.random.categorical(step_rng, filtered, axis=-1)
+            step_rng, next_rng = jax.random.split(state["rng"])
+            sampled = jax.random.categorical(step_rng, filtered, axis=-1)
         sampled = jnp.where(state["finished"],
                             jnp.full_like(sampled, eos_id), sampled)
         step_lp = jnp.take_along_axis(
