@@ -110,6 +110,17 @@ class MultiHeadAttention(nn.Module):
         kv = self.kv_transform(memory)
         return kv[:, :, 0], kv[:, :, 1]
 
+    def _flash_dropout(self, is_training):
+        """(rate, key) for the IN-KERNEL attention-probability dropout
+        on the flash path — active when training on a real TPU backend
+        (the Pallas interpreter stubs the hardware PRNG); off-TPU the
+        flash path skips this dropout (model-build warning)."""
+        if not is_training or self.attention_dropout_rate <= 0.0:
+            return 0.0, None
+        if jax.default_backend() != "tpu":
+            return 0.0, None
+        return float(self.attention_dropout_rate), self.make_rng("dropout")
+
     def __call__(self, query, memory=None, bias=None, cache=None,
                  is_training=False, flash_lengths=None
                  ) -> Tuple[jnp.ndarray, Optional[dict]]:
@@ -117,8 +128,8 @@ class MultiHeadAttention(nn.Module):
 
         With ``flash_lengths`` (valid KEY counts; no cache), the Pallas
         flash kernel computes the attention without materializing the
-        [F, T] probability matrix; attention-probability dropout is
-        skipped on that path (the kernel applies none).
+        [F, T] probability matrix; attention-probability dropout runs
+        IN-KERNEL on the TPU hardware PRNG (skipped off-TPU).
         """
         q = self.q_transform(query)[:, :, 0]
         if cache is not None:
@@ -127,7 +138,9 @@ class MultiHeadAttention(nn.Module):
             k, v = self.compute_kv(memory)
         if cache is None and flash_lengths is not None:
             from neurst_tpu.ops.flash_attention import flash_attention
-            out = flash_attention(q, k, v, lengths=flash_lengths)
+            rate, key = self._flash_dropout(is_training)
+            out = flash_attention(q, k, v, lengths=flash_lengths,
+                                  dropout_rate=rate, dropout_key=key)
             return self.output_transform(out), cache
         if cache is not None and q.shape[0] != k.shape[0]:
             # beam-shared kv: query rows are [B*beam] while the cached
@@ -160,8 +173,9 @@ class MultiHeadSelfAttention(MultiHeadAttention):
         computes the attention (padding via lengths; optional causal),
         never materializing the [F, T] probability matrix in HBM.
         Differentiable (custom VJP with blockwise recompute), so it
-        serves training too; attention-probability dropout is skipped
-        on this path (the kernel applies none — callers warn once).
+        serves training too; attention-probability dropout runs
+        IN-KERNEL on the TPU hardware PRNG (mask regenerated in the
+        backward; skipped off-TPU, where callers warn once).
 
         With ``ring_axis`` (and no cache), the time axis is treated as
         sharded over that mesh axis and attention runs as a
@@ -187,8 +201,10 @@ class MultiHeadSelfAttention(MultiHeadAttention):
             return self.output_transform(out), cache
         if cache is None and flash_lengths is not None:
             from neurst_tpu.ops.flash_attention import flash_attention
+            rate, key = self._flash_dropout(is_training)
             out = flash_attention(q, k, v, lengths=flash_lengths,
-                                  causal=flash_causal)
+                                  causal=flash_causal,
+                                  dropout_rate=rate, dropout_key=key)
             return self.output_transform(out), cache
         if cache is not None and decode_step is not None:
             if getattr(decode_step, "ndim", 0) == 1:

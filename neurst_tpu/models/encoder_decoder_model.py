@@ -106,12 +106,17 @@ class Seq2SeqModule(nn.Module):
     @staticmethod
     def _warn_flash_dropout(cfg, which):
         import logging
+
+        import jax as _jax
         if cfg.get("enable_flash_attention") \
-                and float(cfg.get("attention_dropout_rate") or 0.0) > 0:
+                and float(cfg.get("attention_dropout_rate") or 0.0) > 0 \
+                and _jax.default_backend() != "tpu":
             logging.warning(
-                "%s: flash attention skips attention-probability dropout "
-                "(rate=%s); other dropouts still apply.", which,
-                cfg.get("attention_dropout_rate"))
+                "%s: flash attention applies attention-probability "
+                "dropout in-kernel on TPU only (rate=%s skipped on "
+                "this %s backend); other dropouts still apply.", which,
+                cfg.get("attention_dropout_rate"),
+                _jax.default_backend())
 
     # Overridable in subclasses (speech, waitk, lightconv ...)
     def build_encoder(self):

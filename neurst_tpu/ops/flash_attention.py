@@ -29,9 +29,22 @@ recomputes attention probabilities blockwise in two Pallas kernels
 never materialized in the backward either.
 
 Supports sequence masking via per-example key lengths and causal
-masking.  Attention-probability dropout is NOT applied inside the
-kernel; callers that train with ``attention_dropout_rate > 0`` skip
-that dropout on the flash path (see MultiHeadSelfAttention).
+masking.
+
+Attention-probability dropout runs INSIDE the kernel on the TPU
+hardware PRNG (``dropout_rate`` / ``dropout_seed``): each (q-block,
+k-block) tile draws its keep mask from ``pltpu.prng_random_bits``
+seeded by (seed, batch*head, q-block, k-block), and the backward
+REGENERATES the identical bits from the same seeding — no mask ever
+touches HBM (same design as ops/fused_dropout.py).  The dense-path
+semantics are reproduced exactly: the softmax normalizer uses the
+UN-dropped probabilities (dense normalizes first, then drops), and the
+FlashAttention-2 backward survives dropout unchanged in shape because
+``delta = rowsum(dO * O) == rowsum(P~ * dP~)`` with the mask folded
+into ``dP~`` — only ``ds`` splits into ``pm*dp - p*delta`` (``pm`` the
+dropped, ``p`` the raw probabilities).  Off-TPU the Pallas interpreter
+stubs the PRNG, so ``dropout_rate > 0`` requires a real TPU backend
+(callers gate on it).
 """
 
 import functools
@@ -48,8 +61,28 @@ __all__ = ["flash_attention"]
 NEG_INF = -1.0e30
 
 
-def _fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                block_k: int, causal: bool, scale: float):
+def _seed_tile(seed_ref, bn, qi, kj):
+    """Seeds the hardware PRNG for one (batch*head, q-block, k-block)
+    probability tile.  The same (seed, bn, qi, kj) always yields the
+    same bits, which is what lets the backward kernels regenerate the
+    forward's dropout mask without storing it (odd-constant mixing
+    keeps distinct tiles distinct; fwd and bwd call this with identical
+    arguments for the tile they share)."""
+    pltpu.prng_seed(
+        seed_ref[0] ^ (jnp.uint32(bn) * jnp.uint32(2654435761)),
+        seed_ref[1] ^ (jnp.uint32(qi) * jnp.uint32(1000003)
+                       + jnp.uint32(kj) * jnp.uint32(7919)))
+
+
+def _keep_tile(seed_ref, bn, qi, kj, shape, threshold: int):
+    _seed_tile(seed_ref, bn, qi, kj)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return bits >= jnp.uint32(threshold)
+
+
+def _fwd_kernel(lengths_ref, seed_ref, q_ref, k_ref, v_ref, o_ref,
+                lse_ref, *, block_k: int, causal: bool, scale: float,
+                threshold: int, inv_keep: float):
     """One (batch*head, q_block) program.
 
     q_ref: [1, block_q, head_dim]; k_ref/v_ref: [1, t_k, head_dim]
@@ -89,9 +122,17 @@ def _fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         # fully-masked rows: s - m_new == 0 would give p == 1; zero them
         p = jnp.where(mask, p, 0.0)
         alpha = jnp.exp(m_prev - m_new)
+        # the normalizer accumulates the UN-dropped probabilities
+        # (dense semantics: softmax first, then dropout)
         l_new = l_prev * alpha + jnp.sum(p, axis=1)
+        if threshold:
+            keep = _keep_tile(seed_ref, pl.program_id(0), qi, j,
+                              p.shape, threshold)
+            pd = jnp.where(keep, p * inv_keep, 0.0)
+        else:
+            pd = p
         acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            pd, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
@@ -110,9 +151,9 @@ def _fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         l > 0.0, m + jnp.log(jnp.maximum(l, 1e-37)), NEG_INF)
 
 
-def _dq_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-               delta_ref, dq_ref, *, block_k: int, causal: bool,
-               scale: float):
+def _dq_kernel(lengths_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
+               lse_ref, delta_ref, dq_ref, *, block_k: int, causal: bool,
+               scale: float, threshold: int, inv_keep: float):
     """dQ for one (batch*head, q_block) program: stream over k-blocks,
     recomputing probabilities from the saved logsumexp."""
     _, block_q, head_dim = q_ref.shape
@@ -142,11 +183,18 @@ def _dq_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp(s - lse[:, None])
         p = jnp.where(mask, p, 0.0)
-        # dp = dO V^T ; ds = p * (dp - delta)
+        # dp = dO V^T ; without dropout ds = p * (dp - delta); with it
+        # ds = pm * dp - p * delta (pm = regenerated-mask-dropped p)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None])
+        if threshold:
+            keep = _keep_tile(seed_ref, pl.program_id(0), qi, j,
+                              p.shape, threshold)
+            pm = jnp.where(keep, p * inv_keep, 0.0)
+        else:
+            pm = p
+        ds = pm * dp - p * delta[:, None]
         return acc + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -162,9 +210,10 @@ def _dq_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
 
 
-def _dkv_kernel(lengths_ref, k_ref, v_ref, q_ref, do_ref, lse_ref,
-                delta_ref, dk_ref, dv_ref, *, block_q: int, causal: bool,
-                scale: float):
+def _dkv_kernel(lengths_ref, seed_ref, k_ref, v_ref, q_ref, do_ref,
+                lse_ref, delta_ref, dk_ref, dv_ref, *, block_q: int,
+                causal: bool, scale: float, threshold: int,
+                inv_keep: float):
     """dK/dV for one (batch*head, k_block) program: stream over
     q-blocks."""
     _, block_k, head_dim = k_ref.shape
@@ -195,14 +244,22 @@ def _dkv_kernel(lengths_ref, k_ref, v_ref, q_ref, do_ref, lse_ref,
         s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp(s - lse[:, None])
         p = jnp.where(mask, p, 0.0)
-        # dv += P^T dO
+        if threshold:
+            # the tile (q-block i, k-block ki) regenerates the same
+            # bits the forward drew for it
+            keep = _keep_tile(seed_ref, pl.program_id(0), i, ki,
+                              p.shape, threshold)
+            pm = jnp.where(keep, p * inv_keep, 0.0)
+        else:
+            pm = p
+        # dv += (dropped P)^T dO
         dv_acc = dv_acc + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            pm, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None])
+        ds = pm * dp - p * delta[:, None]
         # dk += dS^T Q
         dk_acc = dk_acc + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
@@ -244,17 +301,27 @@ def _prep(q, k, v, lengths, block_q, block_k):
     return qt, kt, vt, lengths_bn, (b, t_q, t_k, n, h, pt_q, pt_k)
 
 
-def _fwd_impl(q, k, v, lengths, causal, block_q, block_k, interpret):
+def _drop_consts(dropout_rate):
+    if not dropout_rate:
+        return 0, 1.0
+    threshold = min(int(round(dropout_rate * 4294967296.0)), 4294967295)
+    return threshold, 1.0 / (1.0 - dropout_rate)
+
+
+def _fwd_impl(q, k, v, lengths, seed2, causal, block_q, block_k,
+              interpret, dropout_rate):
     qt, kt, vt, lengths_bn, (b, t_q, t_k, n, h, pt_q, pt_k) = _prep(
         q, k, v, lengths, block_q, block_k)
     scale = 1.0 / math.sqrt(h)
+    threshold, inv_keep = _drop_consts(dropout_rate)
     grid = (b * n, pt_q // block_q)
     kernel = functools.partial(_fwd_kernel, block_k=block_k,
-                               causal=causal, scale=scale)
+                               causal=causal, scale=scale,
+                               threshold=threshold, inv_keep=inv_keep)
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, block_q, h),
@@ -279,17 +346,20 @@ def _fwd_impl(q, k, v, lengths, causal, block_q, block_k, interpret):
             jax.ShapeDtypeStruct((b * n, 1, pt_q), jnp.float32),
         ],
         interpret=interpret,
-    )(lengths_bn, qt, kt, vt)
+    )(lengths_bn, seed2, qt, kt, vt)
     o = out.reshape(b, n, pt_q, h).transpose(0, 2, 1, 3)[:, :t_q]
     return o, (out, lse)
 
 
-def _bwd_impl(res, do4, causal, block_q, block_k, interpret):
-    """res = (q, k, v, lengths, ot [B*N,ptq,H], lse); do4 [B,Tq,N,H]."""
-    q, k, v, lengths, ot, lse = res
+def _bwd_impl(res, do4, causal, block_q, block_k, interpret,
+              dropout_rate):
+    """res = (q, k, v, lengths, seed2, ot [B*N,ptq,H], lse);
+    do4 [B,Tq,N,H]."""
+    q, k, v, lengths, seed2, ot, lse = res
     qt, kt, vt, lengths_bn, (b, t_q, t_k, n, h, pt_q, pt_k) = _prep(
         q, k, v, lengths, block_q, block_k)
     scale = 1.0 / math.sqrt(h)
+    threshold, inv_keep = _drop_consts(dropout_rate)
     if pt_q != t_q:
         do4 = jnp.pad(do4, [(0, 0), (0, pt_q - t_q), (0, 0), (0, 0)])
     dot = do4.transpose(0, 2, 1, 3).reshape(b * n, pt_q, h)
@@ -298,11 +368,12 @@ def _bwd_impl(res, do4, causal, block_q, block_k, interpret):
                     axis=-1)[:, None, :]  # [B*N, 1, pt_q] like lse
 
     dq_kernel = functools.partial(_dq_kernel, block_k=block_k,
-                                  causal=causal, scale=scale)
+                                  causal=causal, scale=scale,
+                                  threshold=threshold, inv_keep=inv_keep)
     dqt = pl.pallas_call(
         dq_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(b * n, pt_q // block_q),
             in_specs=[
                 pl.BlockSpec((1, block_q, h),
@@ -328,14 +399,15 @@ def _bwd_impl(res, do4, causal, block_q, block_k, interpret):
         ),
         out_shape=jax.ShapeDtypeStruct((b * n, pt_q, h), q.dtype),
         interpret=interpret,
-    )(lengths_bn, qt, kt, vt, dot, lse, delta)
+    )(lengths_bn, seed2, qt, kt, vt, dot, lse, delta)
 
     dkv_kernel = functools.partial(_dkv_kernel, block_q=block_q,
-                                   causal=causal, scale=scale)
+                                   causal=causal, scale=scale,
+                                   threshold=threshold, inv_keep=inv_keep)
     dkt, dvt = pl.pallas_call(
         dkv_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(b * n, pt_k // block_k),
             in_specs=[
                 pl.BlockSpec((1, block_k, h),
@@ -369,31 +441,36 @@ def _bwd_impl(res, do4, causal, block_q, block_k, interpret):
             jax.ShapeDtypeStruct((b * n, pt_k, h), v.dtype),
         ],
         interpret=interpret,
-    )(lengths_bn, kt, vt, qt, dot, lse, delta)
+    )(lengths_bn, seed2, kt, vt, qt, dot, lse, delta)
 
     dq = dqt.reshape(b, n, pt_q, h).transpose(0, 2, 1, 3)[:, :t_q]
     dk = dkt.reshape(b, n, pt_k, h).transpose(0, 2, 1, 3)[:, :t_k]
     dv = dvt.reshape(b, n, pt_k, h).transpose(0, 2, 1, 3)[:, :t_k]
-    # int lengths take a float0 (symbolic-zero) cotangent
+    # int lengths/seed take a float0 (symbolic-zero) cotangent
     dlengths = np.zeros(lengths.shape, jax.dtypes.float0)
-    return dq, dk, dv, dlengths
+    dseed = np.zeros(seed2.shape, jax.dtypes.float0)
+    return dq, dk, dv, dlengths, dseed
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_custom(q, k, v, lengths, causal, block_q, block_k, interpret):
-    o, _ = _fwd_impl(q, k, v, lengths, causal, block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_custom(q, k, v, lengths, seed2, causal, block_q, block_k,
+                  interpret, dropout_rate):
+    o, _ = _fwd_impl(q, k, v, lengths, seed2, causal, block_q, block_k,
+                     interpret, dropout_rate)
     return o
 
 
-def _flash_custom_fwd(q, k, v, lengths, causal, block_q, block_k,
-                      interpret):
-    o, (ot, lse) = _fwd_impl(q, k, v, lengths, causal, block_q, block_k,
-                             interpret)
-    return o, (q, k, v, lengths, ot, lse)
+def _flash_custom_fwd(q, k, v, lengths, seed2, causal, block_q, block_k,
+                      interpret, dropout_rate):
+    o, (ot, lse) = _fwd_impl(q, k, v, lengths, seed2, causal, block_q,
+                             block_k, interpret, dropout_rate)
+    return o, (q, k, v, lengths, seed2, ot, lse)
 
 
-def _flash_custom_bwd(causal, block_q, block_k, interpret, res, do):
-    return _bwd_impl(res, do, causal, block_q, block_k, interpret)
+def _flash_custom_bwd(causal, block_q, block_k, interpret, dropout_rate,
+                      res, do):
+    return _bwd_impl(res, do, causal, block_q, block_k, interpret,
+                     dropout_rate)
 
 
 _flash_custom.defvjp(_flash_custom_fwd, _flash_custom_bwd)
@@ -401,7 +478,8 @@ _flash_custom.defvjp(_flash_custom_fwd, _flash_custom_bwd)
 
 def flash_attention(q, k, v, lengths=None, causal: bool = False,
                     block_q: int = 256, block_k: int = 256,
-                    interpret: bool = None):
+                    interpret: bool = None, dropout_rate: float = 0.0,
+                    dropout_key=None):
     """Flash (memory-light, differentiable) attention.
 
     q [B, Tq, N, H], k/v [B, Tk, N, H], lengths [B] valid KEY counts
@@ -410,15 +488,37 @@ def flash_attention(q, k, v, lengths=None, causal: bool = False,
     [B, Tq, N, H] (dtype of q).  Scaling by H^-0.5 is applied inside
     (callers must NOT pre-scale).  ``interpret=None`` auto-selects
     interpreter mode off-TPU (Pallas compiles only on TPU).
+
+    ``dropout_rate`` > 0 applies attention-probability dropout inside
+    the kernel (hardware PRNG; requires a real TPU backend — the
+    interpreter stubs the PRNG to zeros, which would drop everything).
+    ``dropout_key`` is a jax PRNG key; callers pass a fresh key per
+    step like any dropout site.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    dropout_rate = float(dropout_rate or 0.0)
+    if dropout_rate > 0.0:
+        if interpret:
+            raise NotImplementedError(
+                "flash attention dropout needs the TPU hardware PRNG "
+                "(interpret mode stubs it); run with dropout_rate=0 "
+                "off-TPU")
+        if dropout_key is None:
+            raise ValueError("dropout_rate > 0 needs a dropout_key")
+        seed2 = jax.random.key_data(dropout_key).astype(
+            jnp.uint32).reshape(-1)[:2]
+    else:
+        seed2 = jnp.zeros([2], jnp.uint32)
     b, t_q, _, _ = q.shape
     t_k = k.shape[1]
     if lengths is None:
         lengths = jnp.full((b,), t_k, jnp.int32)
-    # shrink blocks for short sequences (keeps lanes MXU-aligned)
-    block_q = min(block_q, _round_up(t_q, 128))
-    block_k = min(block_k, _round_up(t_k, 128))
-    return _flash_custom(q, k, v, lengths, causal, block_q, block_k,
-                         interpret)
+    # blocks must be multiples of the 128 lane width: the backward
+    # kernels slice lse/delta on the LANE dim at dynamic offsets
+    # i*block_q, which Mosaic can prove aligned only when block_q is a
+    # multiple of 128; then shrink for short sequences
+    block_q = min(_round_up(block_q, 128), _round_up(t_q, 128))
+    block_k = min(_round_up(block_k, 128), _round_up(t_k, 128))
+    return _flash_custom(q, k, v, lengths, seed2, causal, block_q,
+                         block_k, interpret, dropout_rate)

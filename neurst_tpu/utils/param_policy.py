@@ -32,6 +32,7 @@ and the whole cast is skipped for f32-compute models and under
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,6 +57,14 @@ def restore_inference_params(model, params, flat):
     params, _, missing = ckpt_lib.restore_into(params, flat)
     params = cast_params_for_inference(
         params, (getattr(model, "args", None) or {}).get("dtype"))
+    # commit every leaf to the device ONCE: checkpoint restore yields
+    # host numpy arrays, and leaves the bf16 cast skips (int8 kernel_q,
+    # f32 *_scale) would otherwise be re-transferred on every jitted
+    # call — measured 43x on the int8 serving path over the tunnel
+    # (host->device is the serving-latency tax the at-rest dtypes
+    # exist to avoid)
+    params = jax.tree_util.tree_map(
+        lambda v: jax.device_put(v) if hasattr(v, "dtype") else v, params)
     return params, missing
 
 _BF16_NAMES = ("bfloat16", "bf16")

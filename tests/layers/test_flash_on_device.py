@@ -75,3 +75,78 @@ def test_flash_grads_bf16_on_device():
         assert d < 1.0, (name, d)
         rel = d / max(float(jnp.max(jnp.abs(ref))), 1e-6)
         assert rel < 0.05, (name, rel)
+
+
+def test_flash_dropout_mean_and_mask_consistency_on_device():
+    """In-kernel attention dropout: (a) averaging over many seeds
+    recovers the no-dropout output (inverted-dropout mean
+    preservation); (b) the backward regenerates EXACTLY the forward's
+    mask — extracted via v=I, the effective attention matrix A
+    reproduces both a second forward (different v, same seed) and the
+    analytic dv = A^T w."""
+    rng = np.random.RandomState(2)
+    b, t, n, h = 2, 64, 2, 64
+    q = jnp.asarray(rng.randn(b, t, n, h), jnp.float32)
+    k = jnp.asarray(rng.randn(b, t, n, h), jnp.float32)
+    eye = jnp.broadcast_to(jnp.eye(h, dtype=jnp.float32)[:, None, :],
+                           (t, n, h))[None].repeat(b, axis=0)
+    v2 = jnp.asarray(rng.randn(b, t, n, h), jnp.float32)
+    w = jnp.asarray(rng.randn(b, t, n, h), jnp.float32)
+    rate = 0.3
+    key = jax.random.PRNGKey(7)
+
+    base = np.asarray(flash_attention(q, k, eye, block_q=128, block_k=128))
+
+    # (a) mean preservation over seeds
+    outs = [np.asarray(flash_attention(
+        q, k, eye, block_q=128, block_k=128, dropout_rate=rate,
+        dropout_key=jax.random.PRNGKey(100 + i))) for i in range(24)]
+    mean = np.mean(outs, axis=0)
+    # A entries are softmax probs (<=1); 24 seeds at p=0.7 keep ->
+    # stderr ~ sqrt(p(1-p)/24)*val/p; loose bound
+    assert float(np.max(np.abs(mean - base))) < 0.25
+    assert abs(float(np.mean(mean)) - float(np.mean(base))) < 0.01
+
+    # (b) fwd/bwd mask identity
+    a_mat = flash_attention(q, k, eye, block_q=128, block_k=128,
+                            dropout_rate=rate, dropout_key=key)
+    # a_mat[b, i, n, j] == (M * P~)_{ij} * inv_keep for head n
+    out2 = np.asarray(flash_attention(q, k, v2, block_q=128, block_k=128,
+                                      dropout_rate=rate, dropout_key=key))
+    want = np.asarray(jnp.einsum("binj,bjnh->binh", a_mat, v2))
+    assert float(np.max(np.abs(out2 - want))) < 5e-4
+
+    dv = jax.grad(lambda vv: jnp.sum(flash_attention(
+        q, k, vv, block_q=128, block_k=128, dropout_rate=rate,
+        dropout_key=key) * w))(v2)
+    dv_want = np.asarray(jnp.einsum("binj,binh->bjnh", a_mat, w))
+    assert float(np.max(np.abs(np.asarray(dv) - dv_want))) < 5e-4
+
+
+def test_flash_dropout_dq_dk_finite_difference_on_device():
+    """dq/dk under dropout via directional finite differences (the
+    mask is deterministic given the seed, so FD is well-defined)."""
+    rng = np.random.RandomState(3)
+    b, t, n, h = 1, 64, 2, 64
+    q = jnp.asarray(rng.randn(b, t, n, h), jnp.float32)
+    k = jnp.asarray(rng.randn(b, t, n, h), jnp.float32)
+    v = jnp.asarray(rng.randn(b, t, n, h), jnp.float32)
+    w = jnp.asarray(rng.randn(b, t, n, h), jnp.float32)
+    key = jax.random.PRNGKey(11)
+
+    def loss(q, k):
+        return jnp.sum(flash_attention(
+            q, k, v, causal=True, block_q=128, block_k=128,
+            dropout_rate=0.25, dropout_key=key) * w)
+
+    gq, gk = jax.jit(jax.grad(loss, argnums=(0, 1)))(q, k)
+    eps = 1e-3
+    for g, x, which in ((gq, q, "dq"), (gk, k, "dk")):
+        d = jnp.asarray(rng.randn(*x.shape), jnp.float32)
+        if which == "dq":
+            fd = (loss(x + eps * d, k) - loss(x - eps * d, k)) / (2 * eps)
+        else:
+            fd = (loss(q, x + eps * d) - loss(q, x - eps * d)) / (2 * eps)
+        an = float(jnp.sum(g * d))
+        assert abs(an - float(fd)) < 0.02 * max(abs(an), 1.0), \
+            (which, an, float(fd))
