@@ -41,8 +41,8 @@ from neurst_tpu.layers.search.sequence_search import (SequenceSearch,
                                                       register_search_layer)
 from neurst_tpu.utils.flags_core import Flag
 
-__all__ = ["speculative_greedy_decode", "make_ngram_draft",
-           "SpeculativeDecode"]
+__all__ = ["speculative_greedy_decode", "speculative_beam_search",
+           "make_ngram_draft", "SpeculativeDecode"]
 
 
 def make_ngram_draft(batch, buffer_len, vocab_size, ngram=3, prefix=None):
@@ -381,6 +381,244 @@ def speculative_greedy_decode(target_steps_fn, target_init,
     return predicted[:, :maximum_decode_length], final["log_probs"]
 
 
+def speculative_beam_search(target_steps_fn, target_init,
+                            draft_steps_fn, draft_init,
+                            beam_size: int = 4,
+                            speculative_k: int = 4,
+                            top_k: int = 1,
+                            length_penalty: float = 0.6,
+                            extra_decode_length: int = 50,
+                            maximum_decode_length: int = 256,
+                            minimum_decode_length: int = 0,
+                            enable_unk: bool = False,
+                            return_stats: bool = False):
+    """BEAM search of the target model, accelerated by a draft —
+    output EXACTLY ``sequence_beam_search`` (pinned by test).
+
+    Each iteration: every one of the ``B*beam`` rows drafts ``k``
+    tokens along its own hypothesis; ONE multi-token target pass
+    verifies all rows; then the beam update (top-k over beam x vocab
+    with GNMT length penalty, forced-EOS for finished beams, min-length
+    and UNK masks — bit-identical math to beam_search.body_fn) is
+    REPLAYED over the precomputed per-step logits.  A replayed step j
+    is trustworthy iff every surviving beam's transitions at steps < j
+    stayed "on draft" (the chosen word equals the chosen predecessor's
+    drafted token, so the predecessor row's cache/logits along the
+    drafted path are the true path); the first step with any deviation
+    is still exact (its ENTRY logits are conditioned only on accepted
+    prefixes) but ends the window — so with n leading all-on-draft
+    steps, ``m = min(n+1, k)`` beam steps commit per target pass,
+    the same economics as greedy speculative decoding.
+
+    Cache discipline: the target pass writes each row's drafted-path
+    K/V at positions time..time+k-1; after committing m steps the beam
+    configuration's rows gather the cache by their composed ancestor
+    map (rows of the original drafted set), whose slots
+    time..time+m-1 are exactly the accepted path; slots beyond are
+    stale-but-masked and overwritten before use (same discipline as
+    the greedy loop / the attention caches generally).
+
+    Args mirror ``sequence_beam_search`` + ``speculative_k``; the
+    draft fns must be built with batch = B*beam rows (beam-major).
+
+    Returns (hypotheses [B*top_k, max_len], scores [B*top_k]); with
+    ``return_stats`` appends {"target_passes", "tokens_emitted"}.
+    """
+    k = int(speculative_k)
+    beam_size = int(beam_size)
+    assert k >= 1 and beam_size >= 1
+    eos_id = int(target_init["eos_id"])
+    unk_id = target_init.get("unk_id")
+    if enable_unk:
+        unk_id = None
+    bos = target_init["decoder_input"].astype(jnp.int32)
+    batch_size = bos.shape[0]
+    bb = batch_size * beam_size
+
+    from neurst_tpu.layers import layer_utils
+    from neurst_tpu.layers.search.beam_search import _length_penalty
+
+    cache = layer_utils.stack_beam_size_selective(
+        target_init["decoder_internal_cache"], beam_size)
+    input_ids = layer_utils.stack_beam_size(bos, beam_size)
+
+    enc_maxlen = target_init.get("encoder_inputs_maxlen")
+    if enc_maxlen is None:
+        max_steps = jnp.asarray(maximum_decode_length, jnp.int32)
+    else:
+        max_steps = jnp.minimum(
+            jnp.asarray(enc_maxlen, jnp.int32) + extra_decode_length,
+            maximum_decode_length)
+    max_steps = jnp.maximum(max_steps, minimum_decode_length)
+
+    beam_base = (jnp.arange(bb) // beam_size) * beam_size
+    not_first_beam = (jnp.arange(bb) % beam_size) > 0
+
+    init_state = dict(
+        time=jnp.zeros([], jnp.int32),
+        input_ids=input_ids,
+        cache=cache,
+        draft_cache=draft_init["decoder_internal_cache"],
+        finished=jnp.zeros([bb], jnp.bool_),
+        log_probs=jnp.zeros([bb], jnp.float32),
+        lengths=jnp.zeros([bb], jnp.int32),
+        predicted=jnp.zeros([bb, maximum_decode_length + k], jnp.int32),
+        iters=jnp.zeros([], jnp.int32),
+    )
+
+    def cond_fn(state):
+        return jnp.logical_and(
+            jnp.logical_not(jnp.all(state["finished"])),
+            state["time"] < max_steps)
+
+    def body_fn(state):
+        time = state["time"]
+        times_vec = jnp.full([bb], time, jnp.int32)
+
+        # ---- draft: k tokens per row along its own hypothesis ---- #
+        draft_cache = state["draft_cache"]
+        last_d = state["input_ids"]
+        d_tokens = []
+        for j in range(k):
+            logits_d, draft_cache = draft_steps_fn(
+                last_d[:, None], draft_cache, times_vec + j)
+            from neurst_tpu.layers.search.sampling import \
+                masked_step_log_probs
+            lp_d = masked_step_log_probs(
+                logits_d[:, 0], times_vec + j, eos_id, unk_id, 1.0,
+                minimum_decode_length)
+            last_d = jnp.argmax(lp_d, axis=-1).astype(jnp.int32)
+            d_tokens.append(last_d)
+        d = jnp.stack(d_tokens, axis=1)  # [bb, k]
+
+        # ---- target: verify all k slots in one pass ---- #
+        inp = jnp.concatenate(
+            [state["input_ids"][:, None], d[:, :k - 1]], axis=1)
+        logits_t, target_cache = target_steps_fn(
+            inp, state["cache"], times_vec)  # [bb, k, V]
+        vocab_size = logits_t.shape[-1]
+        eos_onehot = jnp.arange(vocab_size) == eos_id
+
+        # ---- replay the exact beam updates on precomputed logits --- #
+        def replay_step(carry, j):
+            (log_probs_c, finished_c, lengths_c, anc, on_draft,
+             predicted_c) = carry
+            cur_time = time + j
+            logits = jnp.take(logits_t[:, :, :], anc, axis=0)
+            logits = jnp.take_along_axis(
+                logits, j[None, None, None].astype(jnp.int32).repeat(
+                    bb, axis=0), axis=1)[:, 0]
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+            fin = finished_c[:, None]
+            finished_bias = jnp.where(eos_onehot, 0.0, NEG_INF)[None, :]
+            lp = jnp.where(fin, finished_bias, lp)
+            if unk_id is not None:
+                lp = lp + jnp.where(
+                    jnp.arange(vocab_size) == unk_id, NEG_INF,
+                    0.0)[None, :]
+            if minimum_decode_length > 0:
+                eos_mask = jnp.where(eos_onehot, NEG_INF, 0.0)[None, :]
+                lp = jnp.where(cur_time < minimum_decode_length - 1,
+                               lp + eos_mask, lp)
+
+            cum = lp + log_probs_c[:, None]
+            next_length = lengths_c + 1 - finished_c.astype(jnp.int32)
+            penalty = _length_penalty(next_length, length_penalty)
+            scores = cum * penalty[:, None]
+            scores = jnp.where(
+                jnp.logical_and(cur_time == 0, not_first_beam)[:, None],
+                NEG_INF * 2.0, scores)
+
+            flat = scores.reshape(batch_size, beam_size * vocab_size)
+            _, top_idx = jax.lax.top_k(flat, k=beam_size)
+            top_idx = top_idx.reshape(-1)
+            word_ids = (top_idx % vocab_size).astype(jnp.int32)
+            beam_ids = top_idx // vocab_size + beam_base
+
+            next_lengths = jnp.take(next_length, beam_ids)
+            next_log_probs = jnp.take(
+                cum.reshape(-1), beam_ids * vocab_size + word_ids)
+            predicted_n = jnp.take(predicted_c, beam_ids, axis=0)
+            predicted_n = jax.vmap(
+                lambda row, w, t: jax.lax.dynamic_update_slice(
+                    row, w[None], (t,)))(
+                predicted_n, word_ids,
+                jnp.full([bb], cur_time, jnp.int32))
+            next_finished = word_ids == eos_id
+
+            anc_next = jnp.take(anc, beam_ids)
+            drafted = jnp.take(d[:, :], anc_next, axis=0)
+            drafted_j = jnp.take_along_axis(
+                drafted, j[None, None].astype(jnp.int32).repeat(
+                    bb, axis=0), axis=1)[:, 0]
+            # a finished predecessor's forced EOS consults no logits,
+            # so it cannot invalidate later steps
+            tr_on_draft = jnp.logical_or(
+                drafted_j == word_ids, jnp.take(finished_c, beam_ids))
+            on_draft_next = jnp.logical_and(
+                jnp.take(on_draft, beam_ids), tr_on_draft)
+
+            new_carry = (next_log_probs, next_finished, next_lengths,
+                         anc_next, on_draft_next, predicted_n)
+            ys = dict(word_ids=word_ids, log_probs=next_log_probs,
+                      finished=next_finished, lengths=next_lengths,
+                      anc=anc_next, predicted=predicted_n,
+                      all_on_draft=jnp.all(on_draft_next))
+            return new_carry, ys
+
+        carry0 = (state["log_probs"], state["finished"],
+                  state["lengths"], jnp.arange(bb, dtype=jnp.int32),
+                  jnp.ones([bb], jnp.bool_), state["predicted"])
+        _, ys = jax.lax.scan(replay_step, carry0,
+                             jnp.arange(k, dtype=jnp.int32))
+
+        # m = min(n + 1, k): n = leading steps whose TRANSITIONS all
+        # stayed on-draft (step n's entry logits are still exact)
+        n = jnp.sum(jnp.cumprod(
+            ys["all_on_draft"].astype(jnp.int32)), dtype=jnp.int32)
+        m = jnp.minimum(n + 1, k)
+        m = jnp.minimum(m, jnp.maximum(max_steps - time, 1))
+        sel = m - 1
+
+        def pick(x):
+            return jax.lax.dynamic_index_in_dim(x, sel, axis=0,
+                                                keepdims=False)
+
+        anc_final = pick(ys["anc"])
+        new_cache = layer_utils.gather_beams_selective(
+            target_cache, anc_final)
+        new_draft_cache = jax.tree_util.tree_map(
+            lambda leaf: jnp.take(leaf, anc_final, axis=0), draft_cache)
+
+        return dict(
+            time=time + m,
+            input_ids=pick(ys["word_ids"]),
+            cache=new_cache,
+            draft_cache=new_draft_cache,
+            finished=pick(ys["finished"]),
+            log_probs=pick(ys["log_probs"]),
+            lengths=pick(ys["lengths"]),
+            predicted=pick(ys["predicted"]),
+            iters=state["iters"] + 1,
+        )
+
+    final = jax.lax.while_loop(cond_fn, body_fn, init_state)
+
+    penalty = _length_penalty(final["lengths"], length_penalty)
+    scores = (final["log_probs"] * penalty).reshape(batch_size, beam_size)
+    top_scores, top_idx = jax.lax.top_k(scores, k=top_k)
+    gather_idx = (top_idx + (jnp.arange(batch_size)
+                             * beam_size)[:, None]).reshape(-1)
+    hypotheses = jnp.take(final["predicted"], gather_idx,
+                          axis=0)[:, :maximum_decode_length]
+    if return_stats:
+        stats = {"target_passes": final["iters"],
+                 "tokens_emitted": jnp.take(final["lengths"], gather_idx)}
+        return hypotheses, top_scores.reshape(-1), stats
+    return hypotheses, top_scores.reshape(-1)
+
+
 @register_search_layer("speculative_decode", "speculative")
 class SpeculativeDecode(SequenceSearch):
     """Greedy decode of the bound model accelerated by a draft model
@@ -412,6 +650,18 @@ class SpeculativeDecode(SequenceSearch):
             Flag("speculative_k", dtype=Flag.TYPE.INTEGER, default=4,
                  help="Draft tokens proposed (and verified in one "
                       "target pass) per iteration."),
+            Flag("beam_size", dtype=Flag.TYPE.INTEGER, default=1,
+                 help="With beam_size > 1: speculative BEAM search — "
+                      "every beam row drafts its own continuation and "
+                      "the exact beam update replays over one "
+                      "multi-token verification pass (output pinned "
+                      "to plain beam search).  Mutually exclusive "
+                      "with --sampling."),
+            Flag("length_penalty", dtype=Flag.TYPE.FLOAT, default=0.6,
+                 help="GNMT length penalty alpha (beam mode; negative "
+                      "means divide by length)."),
+            Flag("top_hypotheses", dtype=Flag.TYPE.INTEGER, default=1,
+                 help="Hypotheses returned per sentence (beam mode)."),
             Flag("sampling", dtype=Flag.TYPE.BOOLEAN, default=False,
                  help="Distribution-preserving speculative SAMPLING "
                       "(accept-with-min(1,p/q), residual resample) "

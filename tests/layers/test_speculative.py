@@ -605,3 +605,78 @@ def test_ngram_speculative_sampling_smoke():
     assert ids.shape == (3, max_len)
     assert ids.min() >= 0 and ids.max() < META["vocab_size"]
     assert not np.any(ids == META["unk_id"])
+
+
+# ---------------------------- beam mode ---------------------------- #
+
+def _plain_beam(model, params, inputs, beam, max_len, top_k=1,
+                min_len=0, lp=0.6):
+    from neurst_tpu.layers.search.beam_search import sequence_beam_search
+    s2l, init = model.prepare_generation(params, inputs,
+                                         decode_padded_length=max_len)
+    return sequence_beam_search(
+        s2l, init, beam_size=beam, top_k=top_k, length_penalty=lp,
+        maximum_decode_length=max_len, extra_decode_length=max_len,
+        minimum_decode_length=min_len)
+
+
+def _spec_beam(model, params, inputs, beam, max_len, k, top_k=1,
+               min_len=0, lp=0.6, stats=False):
+    from neurst_tpu.layers.search.speculative import (
+        make_ngram_draft, speculative_beam_search)
+    t_fn, t_init = model.prepare_speculative(
+        params, inputs, decode_padded_length=max_len + k)
+    bb = t_init["decoder_input"].shape[0] * beam
+    d_fn, d_init = make_ngram_draft(bb, max_len + k,
+                                    META["vocab_size"], ngram=3)
+    return speculative_beam_search(
+        t_fn, t_init, d_fn, d_init, beam_size=beam, speculative_k=k,
+        top_k=top_k, length_penalty=lp, maximum_decode_length=max_len,
+        extra_decode_length=max_len, minimum_decode_length=min_len,
+        return_stats=stats)
+
+
+@pytest.mark.parametrize("k", [1, 2, 4])
+def test_speculative_beam_matches_plain_beam(k):
+    """Speculative beam search is EXACTLY plain beam search — the
+    draft only changes how many target passes it takes."""
+    model = _model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    inputs = _inputs()
+    hyp_p, sc_p = _plain_beam(model, params, inputs, beam=3, max_len=10)
+    hyp_s, sc_s = _spec_beam(model, params, inputs, beam=3, max_len=10,
+                             k=k)
+    assert _truncate_at_eos(hyp_s) == _truncate_at_eos(hyp_p)
+    np.testing.assert_allclose(np.asarray(sc_s), np.asarray(sc_p),
+                               rtol=0, atol=1e-4)
+
+
+def test_speculative_beam_topk_and_minlen():
+    """top_k > 1 hypotheses and the min-length EOS mask replicate."""
+    model = _model(seed_label="y")
+    params = model.init_params(jax.random.PRNGKey(1))
+    inputs = _inputs(batch=2)
+    hyp_p, sc_p = _plain_beam(model, params, inputs, beam=4, max_len=9,
+                              top_k=3, min_len=4)
+    hyp_s, sc_s = _spec_beam(model, params, inputs, beam=4, max_len=9,
+                             k=3, top_k=3, min_len=4)
+    assert _truncate_at_eos(hyp_s) == _truncate_at_eos(hyp_p)
+    np.testing.assert_allclose(np.asarray(sc_s), np.asarray(sc_p),
+                               rtol=0, atol=1e-4)
+
+
+def test_speculative_beam_stats_and_progress():
+    """Commit-rate stats: target passes never exceed emitted steps and
+    speculation commits at least one step per pass."""
+    model = _model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    inputs = _inputs()
+    hyp, sc, stats = _spec_beam(model, params, inputs, beam=3,
+                                max_len=10, k=4, stats=True)
+    passes = int(stats["target_passes"])
+    max_emitted = int(np.max(np.asarray(stats["tokens_emitted"])))
+    assert 1 <= passes <= 10
+    assert passes <= 10 and max_emitted <= 10
+    # exactness vs plain beam regardless of the realized commit rate
+    hyp_p, _ = _plain_beam(model, params, inputs, beam=3, max_len=10)
+    assert _truncate_at_eos(hyp) == _truncate_at_eos(hyp_p)

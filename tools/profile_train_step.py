@@ -166,28 +166,34 @@ def main():
         try:
             step_fn, state = build_step(jax, **kw)
             step_s = measure(jax, step_fn, state, batch, key)
+            row = {
+                "step_ms": round(step_s * 1000, 1),
+                "tokens_per_sec": round(b * L / step_s),
+                "mfu": round(flops / step_s / V5E_BF16_PEAK_FLOPS, 3),
+            }
+            print(f"{name:16s} {row['step_ms']:8.1f} ms  "
+                  f"{row['tokens_per_sec']:8d} tok/s  "
+                  f"mfu {row['mfu']:.3f}", flush=True)
+        except Exception as e:  # noqa: BLE001 — profile what survives
+            row = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+            print(f"{name:16s} ERROR {row['error'][:120]}", flush=True)
         finally:
             if env:
                 os.environ.pop(env, None)
-        row = {
-            "step_ms": round(step_s * 1000, 1),
-            "tokens_per_sec": round(b * L / step_s),
-            "mfu": round(flops / step_s / V5E_BF16_PEAK_FLOPS, 3),
-        }
         results[name] = row
-        print(f"{name:16s} {row['step_ms']:8.1f} ms  "
-              f"{row['tokens_per_sec']:8d} tok/s  mfu {row['mfu']:.3f}",
-              flush=True)
+        del step_fn, state
 
-    base = results["baseline"]["step_ms"]
+    def delta(a, b_):
+        if "step_ms" in results.get(a, {}) and \
+                "step_ms" in results.get(b_, {}):
+            return round(results[a]["step_ms"] - results[b_]["step_ms"], 1)
+        return None
+
     attribution = {
-        "attention_dense_minus_flash_ms": round(
-            base - results["flash"]["step_ms"], 1),
-        "ce_region_ms": round(base - results["no_ce"]["step_ms"], 1),
-        "attn_prob_dropout_ms": round(
-            base - results["no_attn_drop"]["step_ms"], 1),
-        "all_dropout_ms": round(
-            base - results["no_dropout"]["step_ms"], 1),
+        "attention_dense_minus_flash_ms": delta("baseline", "flash"),
+        "ce_region_ms": delta("baseline", "no_ce"),
+        "attn_prob_dropout_ms": delta("baseline", "no_attn_drop"),
+        "all_dropout_ms": delta("baseline", "no_dropout"),
     }
     out = {
         "config": {"model": "transformer_base", "batch": [b, L],
