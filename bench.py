@@ -57,14 +57,16 @@ import numpy as np
 # run; the optional extras (dtype A/B, long-audio, speculative, MoE,
 # compile-time) each check the remaining budget first and are reported
 # as "skipped (deadline)" when it runs out — ONE honest JSON line
-# either way.  Each jit compile costs 20-40 s over the axon tunnel
-# COLD; this file therefore enables the framework's persistent XLA
+# either way.  This file enables the framework's persistent XLA
 # compilation cache (same machinery as --compilation_cache_dir,
-# cli/run_exp.py) in `.xla_cache/` next to this file.  The repo ships
-# that directory pre-warmed, so a driver run recompiles nothing and
-# the full suite (~18 distinct programs) fits the 480 s budget; on a
-# cold machine the gates below still degrade honestly to "skipped".
-BENCH_DEADLINE_S = float(os.environ.get("NEURST_BENCH_DEADLINE", 480))
+# cli/run_exp.py) in `.xla_cache/` next to this file; the repo ships
+# that directory pre-warmed.  Measured cost structure on the axon
+# tunnel (see the jitted model.init_params): a warm-cached program
+# still pays ~10-25 s of EXECUTABLE LOAD on first run, so the ~18
+# distinct programs below cost ~550 s in loads alone — the budget is
+# sized for loads, not compiles (the round-3 driver tolerated an
+# 846 s run).  On a cold machine the gates degrade to "skipped".
+BENCH_DEADLINE_S = float(os.environ.get("NEURST_BENCH_DEADLINE", 720))
 _START = time.time()
 
 
@@ -190,20 +192,24 @@ def bench_decode(jax):
 
 
 def bench_decode_dtype(jax):
-    """On-chip A/B of the serving dtype levers at the headline decode
-    shape (chunked prefix, beam 4): f32-at-rest vs bf16-at-rest
-    (bitwise-equal outputs, half the weight reads) vs int8 weight-only
-    (quarter the reads) vs full-int8 (int8 x int8 -> int32 matmuls with
-    dynamic per-token activation scales).  Full-decode milliseconds per
-    config; correctness is pinned by tests/layers/test_int8_serving.py."""
+    """On-chip A/B of the int8 serving levers at the headline decode
+    shape (chunked prefix, beam 4): int8 weight-only (quarter the
+    weight reads of f32-at-rest, half of the bf16-at-rest headline) vs
+    full-int8 (int8 x int8 -> int32 matmuls, dynamic per-token
+    activation scales) vs full-int8 with STATIC activation scales
+    (PTQ-calibrated on one teacher-forced batch; no per-token absmax
+    reduction in the decode step).  Full-decode milliseconds per
+    config; correctness is pinned by tests/layers/test_int8_serving.py
+    (f32-at-rest was A/B'd in round 3: 610.6 utt/s plain — bf16-at-rest
+    is bitwise-equal, so only its speed differs)."""
     from functools import partial
 
     from __graft_entry__ import _build_model
-    from neurst_tpu.layers.quantization.quant_layers import set_int8_serving
+    from neurst_tpu.layers.quantization.quant_layers import (
+        calibrate_int8_act_scales, set_int8_serving)
     from neurst_tpu.layers.search.beam_search import sequence_beam_search
     from neurst_tpu.utils.checkpoints import flatten_params
-    from neurst_tpu.utils.param_policy import (cast_params_for_inference,
-                                               restore_inference_params)
+    from neurst_tpu.utils.param_policy import restore_inference_params
 
     base_model, trg_meta = _build_model(tiny=False)
     f32_params = base_model.init_params(jax.random.PRNGKey(0))
@@ -217,18 +223,21 @@ def bench_decode_dtype(jax):
             np.full([BATCH], trg_meta["bos_id"], np.int32)),
     }
     times = {}
-    for label, int8, act in (("f32_ms", False, False),
-                             ("bf16_ms", False, False),
-                             ("int8_ms", True, False),
-                             ("int8_act_ms", True, True)):
-        set_int8_serving(int8, activations=act)
+    for label, act, static in (("int8_ms", False, False),
+                               ("int8_act_ms", True, False),
+                               ("int8_act_static_ms", True, True)):
+        set_int8_serving(True, activations=act,
+                         static_activation_scales=static)
         try:
             model, _ = _build_model(tiny=False)
             params = model.init_params(jax.random.PRNGKey(0))
-            if int8:
-                params, _ = restore_inference_params(model, params, flat)
-            elif label == "bf16_ms":
-                params = cast_params_for_inference(params, "bfloat16")
+            params, _ = restore_inference_params(model, params, flat)
+            if static:
+                cal_batch = dict(inputs)
+                cal_batch["trg_input"] = jax.device_put(np.full(
+                    [BATCH, 8], trg_meta["bos_id"], np.int32))
+                params = calibrate_int8_act_scales(model, params,
+                                                   [cal_batch])
 
             @partial(jax.jit, static_argnums=())
             def decode(params, inputs, m=model):
@@ -513,10 +522,11 @@ def bench_moe(jax):
 
 def bench_scan_compile(jax):
     """Wall-clock compile seconds for a deep (12-layer) encoder forward:
-    per-layer loop vs encoder.scan_layers (one traced layer)."""
+    per-layer loop vs encoder.scan_layers (one traced layer).  The
+    persistent compilation cache is disabled around the measurement —
+    this bench measures COMPILES, a cache hit would measure disk IO."""
     import time as _time
 
-    from flax import linen as nn
     import jax.numpy as jnp
 
     from neurst_tpu.layers.encoders.transformer_encoder import \
@@ -524,15 +534,20 @@ def bench_scan_compile(jax):
     out = {}
     x = jnp.zeros([2, 256, 256], jnp.bfloat16)
     pad = jnp.zeros([2, 256], jnp.float32)
-    for key, scan in (("loop_s", False), ("scan_s", True)):
-        enc = TransformerEncoder(
-            num_layers=12, hidden_size=256, num_attention_heads=4,
-            filter_size=2048, scan_layers=scan, dtype=jnp.bfloat16)
-        params = enc.init({"params": jax.random.PRNGKey(0)}, x, pad)
-        fwd = jax.jit(lambda p, a, b: enc.apply(p, a, b))
-        start = _time.perf_counter()
-        fwd.lower(params, x, pad).compile()
-        out[key] = round(_time.perf_counter() - start, 1)
+    cache_dir = jax.config.read("jax_compilation_cache_dir")
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        for key, scan in (("loop_s", False), ("scan_s", True)):
+            enc = TransformerEncoder(
+                num_layers=12, hidden_size=256, num_attention_heads=4,
+                filter_size=2048, scan_layers=scan, dtype=jnp.bfloat16)
+            params = enc.init({"params": jax.random.PRNGKey(0)}, x, pad)
+            fwd = jax.jit(lambda p, a, b: enc.apply(p, a, b))
+            start = _time.perf_counter()
+            fwd.lower(params, x, pad).compile()
+            out[key] = round(_time.perf_counter() - start, 1)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
     return out
 
 
@@ -649,8 +664,10 @@ def main():
         except Exception as e:  # noqa: BLE001 — keep the JSON line honest
             return f"error: {e!r}"
 
-    decode_dtype = gated(60, bench_decode_dtype)
-    speculative = gated(45, bench_speculative)
+    # "needs" below are calibrated warm-cache costs: ~10-25 s program
+    # load per distinct program + measurement time (see budget note).
+    decode_dtype = gated(115, bench_decode_dtype)
+    speculative = gated(75, bench_speculative)
 
     def f32_extra(jax_mod):
         tok_s, step_s, f32_mfu = bench_train(jax_mod, bf16_params=False)
@@ -658,12 +675,12 @@ def main():
                 "step_ms": round(step_s * 1000, 1),
                 "mfu": round(f32_mfu, 3)}
 
-    train_f32 = gated(45, f32_extra)
-    long_audio = gated(35, bench_long_audio)
-    long_train = gated(40, bench_long_audio_train)
-    moe = gated(50, bench_moe)
-    decode_plain = gated(25, decode_plain_extra)
-    scan_compile = gated(45, bench_scan_compile)
+    moe = gated(75, bench_moe)
+    train_f32 = gated(40, f32_extra)
+    long_train = gated(60, bench_long_audio_train)
+    long_audio = gated(55, bench_long_audio)
+    decode_plain = gated(30, decode_plain_extra)
+    scan_compile = gated(50, bench_scan_compile)
     print(json.dumps({
         "metric": "st_beam4_decode_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 3),

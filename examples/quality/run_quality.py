@@ -11,22 +11,29 @@
 # WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
 # See the License for the specific language governing permissions and
 # limitations under the License.
-"""Drives a committed quality recipe end-to-end on the current chip
+"""Drives the committed quality recipes end-to-end on the current chip
 and writes a trajectory artifact (QUALITY_r{N}.json entry).
 
-Runs the UNMODIFIED CLI with the given recipe yml: train with the
-inline seq-generation validator (keep-best + averaged checkpoints),
-then decode dev with the final, best, and averaged-best checkpoints.
-The dev dataset, search method and metric are read from the recipe's
-own ``validator.params`` block — the post-training decodes use exactly
+Each recipe runs the UNMODIFIED CLI: train with the inline
+seq-generation validator (keep-best + averaged checkpoints), then
+decode dev with the final, best, and averaged-best checkpoints.  The
+dev dataset, search method and metric are read from the recipe's own
+``validator.params`` block — the post-training decodes use exactly
 what the validator used.
 
 Usage:
-    python examples/quality/run_quality.py [recipe_yml] [model_dir] [out_json]
+    python examples/quality/run_quality.py                  # full SUITE
+    python examples/quality/run_quality.py <recipe_yml> [model_dir] [out_json]
 
-Recipes: mt_synth.yml (2-layer toy), mt_synth_base.yml
-(transformer_base-scale, bf16 + grad accum), asr_synth.yml (speech —
-run gen_speech_corpus.py first).
+Suite mode (no recipe argument) runs, deadline-gated
+(NEURST_QUALITY_DEADLINE seconds, default 5400):
+  1. mt_synth.yml       — 2-layer d=128 toy (recipe-surface sanity)
+  2. mt_synth_base.yml  — transformer_base SCALE: bf16 params + f32
+                          master, grad accumulation, 6+6 layers
+  3. asr_synth.yml      — SPEECH: LogMelFbank, SpecAugment, 2-D
+                          bucketing, conv front end, WER validator
+                          (generates the tone corpus first if absent)
+and writes ONE combined artifact {"suite": {name: run_artifact}}.
 """
 
 import json
@@ -34,18 +41,29 @@ import logging
 import os
 import re
 import sys
+import time
+
+_START = time.time()
+DEADLINE_S = float(os.environ.get("NEURST_QUALITY_DEADLINE", 5400))
+
+SUITE = [
+    ("mt_synth", "examples/quality/mt_synth.yml", 600),
+    ("mt_synth_base", "examples/quality/mt_synth_base.yml", 1500),
+    ("asr_synth", "examples/quality/asr_synth.yml", 1800),
+]
 
 
-def main():
-    recipe = sys.argv[1] if len(sys.argv) > 1 \
-        else "examples/quality/mt_synth.yml"
-    model_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/quality_run"
-    out_json = sys.argv[3] if len(sys.argv) > 3 else "QUALITY.json"
-    repo = os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))))
-    sys.path.insert(0, repo)
-    os.chdir(repo)
+def _remaining():
+    return DEADLINE_S - (time.time() - _START)
 
+
+def _backend():
+    import jax
+    return f"{jax.default_backend()}:{jax.devices()[0].device_kind}"
+
+
+def run_recipe(recipe, model_dir):
+    """Trains + decodes one recipe; returns the trajectory artifact."""
     import yaml
     with open(recipe) as f:
         recipe_cfg = yaml.safe_load(f)
@@ -76,51 +94,54 @@ def main():
                 records["valid_metric"].append(
                     [int(m.group(1)), float(m.group(2))])
 
-    logging.getLogger().addHandler(Capture())
-
-    logging.getLogger().setLevel(logging.INFO)
-    logging.getLogger().addHandler(logging.StreamHandler())
+    capture = Capture()
+    logging.getLogger().addHandler(capture)
 
     from neurst_tpu.cli.run_exp import cli_main
 
-    cli_main(["--entry", "train", "--config_paths", recipe,
-              "--model_dir", model_dir])
+    try:
+        cli_main(["--entry", "train", "--config_paths", recipe,
+                  "--model_dir", model_dir])
 
-    def metric_of(md):
-        # keep-best/avg subdirs hold checkpoints only; predict rebuilds
-        # the task+model from model_configs.yml, so mirror it in
-        import shutil
-        cfg = os.path.join(model_dir, "model_configs.yml")
-        target = os.path.join(md, "model_configs.yml")
-        if md != model_dir and os.path.exists(cfg) \
-                and not os.path.exists(target):
-            shutil.copy(cfg, target)
-        argv = ["--entry", "predict", "--model_dir", md,
-                "--metric", metric_cls]
-        if eval_ds_cls:
-            argv += ["--dataset.class", eval_ds_cls,
-                     "--dataset.params", json.dumps(eval_ds_params)]
-        if search_params:
-            argv += ["--search_method.params", json.dumps(search_params)]
-        res = cli_main(argv)
-        for k, v in res.items():
-            if metric_cls.lower() in k.lower() \
-                    and isinstance(v, (int, float)):
-                return float(v)
-        return None
-
-    def safe_metric(md):
-        try:
-            return metric_of(md) if os.path.isdir(md) else None
-        except Exception as e:  # keep the artifact even if one decode dies
-            logging.exception("decode of %s failed: %s", md, e)
+        def metric_of(md):
+            # keep-best/avg subdirs hold checkpoints only; predict
+            # rebuilds the task+model from model_configs.yml, so
+            # mirror it in
+            import shutil
+            cfg = os.path.join(model_dir, "model_configs.yml")
+            target = os.path.join(md, "model_configs.yml")
+            if md != model_dir and os.path.exists(cfg) \
+                    and not os.path.exists(target):
+                shutil.copy(cfg, target)
+            argv = ["--entry", "predict", "--model_dir", md,
+                    "--metric", metric_cls]
+            if eval_ds_cls:
+                argv += ["--dataset.class", eval_ds_cls,
+                         "--dataset.params", json.dumps(eval_ds_params)]
+            if search_params:
+                argv += ["--search_method.params",
+                         json.dumps(search_params)]
+            res = cli_main(argv)
+            for k, v in res.items():
+                if metric_cls.lower() in k.lower() \
+                        and isinstance(v, (int, float)):
+                    return float(v)
             return None
 
-    final_m = safe_metric(model_dir)
-    best_dir = os.path.join(model_dir, "best")
-    avg_dir = os.path.join(model_dir, "best_avg")
-    best_m = safe_metric(best_dir)
-    avg_m = safe_metric(avg_dir)
+        def safe_metric(md):
+            try:
+                return metric_of(md) if os.path.isdir(md) else None
+            except Exception as e:  # keep the artifact if one decode dies
+                logging.exception("decode of %s failed: %s", md, e)
+                return None
+
+        final_m = safe_metric(model_dir)
+        best_dir = os.path.join(model_dir, "best")
+        avg_dir = os.path.join(model_dir, "best_avg")
+        best_m = safe_metric(best_dir)
+        avg_m = safe_metric(avg_dir)
+    finally:
+        logging.getLogger().removeHandler(capture)
 
     # the validator's own record is the authoritative trajectory
     metrics_path = os.path.join(best_dir, "metrics.json")
@@ -140,7 +161,7 @@ def main():
         monotone = all(a > b for a, b in zip(quarters, quarters[1:]))
         records["loss_quarters"] = [round(x, 4) for x in quarters]
 
-    out = {
+    return {
         "recipe": recipe,
         "metric": metric_cls,
         "backend": _backend(),
@@ -152,14 +173,66 @@ def main():
         f"keep_best_{metric_cls}": best_m,
         f"avg_ckpt_{metric_cls}": avg_m,
     }
+
+
+def _ensure_speech_corpus(repo):
+    speech_dir = os.path.join(repo, "examples/quality/speech")
+    if os.path.exists(os.path.join(speech_dir, "train.tfrecords")):
+        return
+    logging.info("generating the synthetic tone ASR corpus ...")
+    import subprocess
+    subprocess.run(
+        [sys.executable,
+         os.path.join(repo, "examples/quality/gen_speech_corpus.py")],
+        check=True, cwd=repo)
+
+
+def run_suite(out_json):
+    repo = os.getcwd()
+    suite = {}
+    for name, recipe, need_s in SUITE:
+        if _remaining() < need_s:
+            suite[name] = (f"skipped (deadline: {_remaining():.0f}s "
+                           f"left, needs ~{need_s}s)")
+            continue
+        try:
+            if name == "asr_synth":
+                _ensure_speech_corpus(repo)
+            t0 = time.time()
+            suite[name] = run_recipe(recipe, f"/tmp/quality_{name}")
+            suite[name]["wall_s"] = round(time.time() - t0, 1)
+        except Exception as e:  # noqa: BLE001 — keep partial artifacts
+            logging.exception("quality run %s failed", name)
+            suite[name] = f"error: {e!r}"
+    out = {"suite": suite, "backend": _backend()}
     with open(out_json, "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps(out)[:2000])
+    print(json.dumps({k: (v if isinstance(v, str)
+                          else {kk: v[kk] for kk in
+                                ("recipe", f"final_{v['metric']}",
+                                 f"keep_best_{v['metric']}",
+                                 "loss_monotone_by_quarter", "wall_s")})
+                      for k, v in suite.items()}))
 
 
-def _backend():
-    import jax
-    return f"{jax.default_backend()}:{jax.devices()[0].device_kind}"
+def main():
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    sys.path.insert(0, repo)
+    os.chdir(repo)
+    logging.getLogger().setLevel(logging.INFO)
+    logging.getLogger().addHandler(logging.StreamHandler())
+
+    if len(sys.argv) > 1:
+        recipe = sys.argv[1]
+        model_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/quality_run"
+        out_json = sys.argv[3] if len(sys.argv) > 3 else "QUALITY.json"
+        out = run_recipe(recipe, model_dir)
+        with open(out_json, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out)[:2000])
+    else:
+        run_suite(os.environ.get("NEURST_QUALITY_OUT", "QUALITY.json"))
 
 
 if __name__ == "__main__":

@@ -210,7 +210,8 @@ def dense_general(features, axis=-1, use_bias=True, activation=None,
 
 
 _INT8_SERVING = {"on": False, "qat_bits": 8, "activations": False,
-                 "static_act": False, "calibrate": False}
+                 "static_act": False, "calibrate": False,
+                 "qat_act_paths": set()}
 
 
 def set_int8_serving(on: bool, qat_bits: int = 8,
@@ -248,6 +249,7 @@ def set_int8_serving(on: bool, qat_bits: int = 8,
     _INT8_SERVING["static_act"] = (_INT8_SERVING["activations"]
                                    and bool(static_activation_scales))
     _INT8_SERVING["calibrate"] = False
+    _INT8_SERVING["qat_act_paths"] = set()
 
 
 def int8_serving_enabled() -> bool:
@@ -309,21 +311,28 @@ def calibrate_int8_act_scales(model, params, batches, margin: float = 1.0):
 def write_calibrated_act_scales(params, calibration, margin: float = 1.0):
     """Writes ``act_scale = margin * act_absmax / 127`` into the params
     tree at every module path where ``calibration`` recorded an
-    ``act_absmax`` (the two trees are parallel by construction)."""
-    def walk(p, c):
+    ``act_absmax`` (the two trees are parallel by construction).
+    Module paths whose scales came from QAT clips (int8ify_flat_params)
+    are left alone: the learned clip is the range QAT optimized for,
+    and observed-absmax would only shrink it to the calibration set."""
+    qat_paths = _INT8_SERVING.get("qat_act_paths") or set()
+
+    def walk(p, c, prefix):
         if not isinstance(c, dict):
             return p
         out = dict(p)
         for k, v in c.items():
             if k == "act_absmax":
+                if prefix in qat_paths:
+                    continue
                 amax = float(np.max(np.asarray(v)))
                 out["act_scale"] = np.float32(
                     max(amax * float(margin), 1e-9) / 127.0)
             elif isinstance(v, dict) and k in out:
-                out[k] = walk(out[k], v)
+                out[k] = walk(out[k], v, f"{prefix}/{k}" if prefix else k)
         return out
 
-    return walk(params, calibration)
+    return walk(params, calibration, "")
 
 
 class Int8DenseGeneral(nn.Module):
@@ -482,6 +491,34 @@ def int8ify_flat_params(flat: dict, template_flat: dict) -> dict:
         out.pop(base, None)
         out[name] = q
         out[scale_name] = scale.astype(np.float32)
+
+    # QAT activation clips -> STATIC activation scales, where the QAT
+    # graph provably bounds a dense input: the FFN inner activation.
+    # dense1 fake-quantizes its relu output to [0, output_clip_max]
+    # (quant_layers._act_quant) and feeds dense2 directly (dropout is
+    # identity at serving), so the learned clip IS dense2's input range
+    # and ``act_scale = clip / 127`` needs no calibration pass.  Other
+    # dense inputs (q/k/v from LayerNorm, the output projection from
+    # the attention context) carry no QAT bound and keep calibration /
+    # dynamic per-token quantization.  Parity anchor: the reference
+    # trains these clips (/root/reference/neurst/layers/quantization/
+    # quant_layers.py:90-98) but never serves real int8 from them.
+    _INT8_SERVING["qat_act_paths"] = set()
+    if _INT8_SERVING.get("static_act"):
+        for name, tmpl in template_flat.items():
+            if not name.endswith("dense2/act_scale"):
+                continue
+            clip_name = (name[:-len("dense2/act_scale")]
+                         + "dense1/output_clip_max")
+            clip = flat.get(clip_name)
+            if clip is None:
+                continue
+            clip = np.maximum(np.asarray(clip, np.float32), 1e-9)
+            out[name] = np.broadcast_to(
+                clip / 127.0, np.shape(tmpl)).astype(np.float32)
+            out.pop(clip_name, None)
+            _INT8_SERVING["qat_act_paths"].add(
+                name[:-len("/act_scale")])
     return out
 
 

@@ -396,3 +396,78 @@ def test_static_act_scales_require_full_int8():
         assert not _INT8_SERVING["static_act"]
     finally:
         quant_layers.set_int8_serving(False)
+
+
+def test_qat_clips_become_static_activation_scales():
+    """VERDICT r3 #7: a QAT checkpoint's learned FFN relu clip
+    (dense1/output_clip_max) becomes dense2's static ``act_scale``
+    (clip/127) with NO calibration pass, calibration leaves those
+    QAT-derived scales alone, and serving with a clip that matches the
+    activation range reproduces the calibrated-static serve exactly."""
+    from neurst_tpu.layers.quantization import quant_layers
+    from neurst_tpu.utils.checkpoints import flatten_params, restore_into
+
+    plain = _model()
+    params_f = plain.init_params(jax.random.PRNGKey(0))
+    flat = {k: np.asarray(v) for k, v in flatten_params(params_f).items()}
+    batch = _batch()
+
+    # 1. calibrated-static reference: observed absmax drives ALL scales
+    quant_layers.set_int8_serving(True, activations=True,
+                                  static_activation_scales=True)
+    try:
+        m_cal = _model()
+        tmpl = m_cal.init_params(jax.random.PRNGKey(1))
+        flat_q = quant_layers.int8ify_flat_params(flat,
+                                                  flatten_params(tmpl))
+        params_cal, _, _ = restore_into(tmpl, flat_q)
+        params_cal = quant_layers.calibrate_int8_act_scales(
+            m_cal, params_cal, [batch])
+        cal_scales = {n: float(np.asarray(v)) for n, v in
+                      flatten_params(params_cal).items()
+                      if n.endswith("dense2/act_scale")}
+        assert cal_scales
+        logits_cal = np.asarray(m_cal.call(params_cal, batch))
+    finally:
+        quant_layers.set_int8_serving(False)
+
+    # 2. a "QAT checkpoint" whose learned FFN clips equal the true
+    # activation range (what QAT training converges to): clip = 127 *
+    # calibrated scale for that dense
+    flat_qat = dict(flat)
+    for n, s in cal_scales.items():
+        clip_name = n.replace("dense2/act_scale",
+                              "dense1/output_clip_max")
+        flat_qat[clip_name] = np.asarray(127.0 * s, np.float32)
+
+    quant_layers.set_int8_serving(True, activations=True,
+                                  static_activation_scales=True)
+    try:
+        m_st = _model()
+        tmpl = m_st.init_params(jax.random.PRNGKey(1))
+        flat_q = quant_layers.int8ify_flat_params(flat_qat,
+                                                  flatten_params(tmpl))
+        derived = {n: v for n, v in flat_q.items()
+                   if n.endswith("dense2/act_scale")}
+        assert set(derived) == set(cal_scales)
+        for n, v in derived.items():
+            np.testing.assert_allclose(float(v), cal_scales[n], rtol=1e-6)
+            assert n[:-len("/act_scale")] in \
+                quant_layers._INT8_SERVING["qat_act_paths"]
+        params_st, _, _ = restore_into(tmpl, flat_q)
+        # the remaining act_scales (qkv, output proj) calibrate; the
+        # QAT-derived ones must survive calibration untouched even
+        # though this batch's observed absmax differs from the clip
+        params_st = quant_layers.calibrate_int8_act_scales(
+            m_st, params_st, [batch])
+        for n, v in flatten_params(params_st).items():
+            if n.endswith("dense2/act_scale"):
+                np.testing.assert_allclose(
+                    float(np.asarray(v)), cal_scales[n], rtol=1e-6,
+                    err_msg=f"calibration overwrote QAT scale {n}")
+        logits_st = np.asarray(m_st.call(params_st, batch))
+    finally:
+        quant_layers.set_int8_serving(False)
+
+    # same scales everywhere -> identical serve
+    np.testing.assert_allclose(logits_st, logits_cal, rtol=0, atol=1e-5)
