@@ -21,21 +21,28 @@ jax = pytest.importorskip("jax")
 REPO = os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__))))
 FIXTURE_DIR = os.path.join(REPO, "tests", "fixtures", "reference_goldens")
+# (golden json, ckpt dir, corpus dir relative to repo).  "wide" is the
+# statistically meaningful fixture: 240 mixed-length dev sentences over
+# a 200-word vocab (tests/tools/gen_wide_corpus.py), d=64 model.
 VARIANTS = {
-    "prenorm": ("corpus_golden.json", "corpus_tf_ckpt"),
-    "postnorm": ("corpus_golden_postnorm.json", "corpus_tf_ckpt_postnorm"),
+    "prenorm": ("corpus_golden.json", "corpus_tf_ckpt",
+                "tests/examples"),
+    "postnorm": ("corpus_golden_postnorm.json", "corpus_tf_ckpt_postnorm",
+                 "tests/examples"),
+    "wide": ("corpus_golden_wide.json", "corpus_tf_ckpt_wide",
+             "tests/examples/wide"),
 }
 
 
 @pytest.fixture(scope="module", params=sorted(VARIANTS),
                 ids=sorted(VARIANTS))
 def variant(request):
-    golden_name, ckpt_name = VARIANTS[request.param]
+    golden_name, ckpt_name, corpus_dir = VARIANTS[request.param]
     golden_path = os.path.join(FIXTURE_DIR, golden_name)
     ckpt_path = os.path.join(FIXTURE_DIR, ckpt_name)
     if not os.path.exists(golden_path) or not os.path.isdir(ckpt_path):
         pytest.skip(f"{request.param} corpus fixture not generated")
-    return golden_path, ckpt_path
+    return golden_path, ckpt_path, os.path.join(REPO, corpus_dir)
 
 
 @pytest.fixture(scope="module")
@@ -50,18 +57,17 @@ def ckpt_dir(variant):
 
 
 @pytest.fixture(scope="module")
-def task_and_model(golden):
+def task_and_model(golden, variant):
     from neurst_tpu.tasks.task import build_task
     os.chdir(REPO)
+    vocab = os.path.join(variant[2], "vocab.txt")
     task = build_task({
         "task.class": "translation",
         "task.params": {
             "src_data_pipeline.class": "TextDataPipeline",
-            "src_data_pipeline.params": {
-                "vocab_path": "tests/examples/vocab.txt"},
+            "src_data_pipeline.params": {"vocab_path": vocab},
             "trg_data_pipeline.class": "TextDataPipeline",
-            "trg_data_pipeline.params": {
-                "vocab_path": "tests/examples/vocab.txt"},
+            "trg_data_pipeline.params": {"vocab_path": vocab},
         }})
     params = dict(golden["model_params"])
     params["dtype"] = "float32"
@@ -91,7 +97,7 @@ def _converted_params(model, golden, ckpt_dir):
 
 
 def test_converted_checkpoint_reproduces_reference_decode(
-        golden, task_and_model, ckpt_dir):
+        golden, task_and_model, ckpt_dir, variant):
     task, model = task_and_model
     params = _converted_params(model, golden, ckpt_dir)
     pipeline = task._src_data_pipeline
@@ -104,9 +110,9 @@ def test_converted_checkpoint_reproduces_reference_decode(
         "search_method.params": dict(golden["search_params"])})
     search.set_model(model)
 
-    with open(os.path.join(REPO, "tests", "examples", "dev.src")) as f:
+    with open(os.path.join(variant[2], "dev.src")) as f:
         dev_src = [line.rstrip("\n") for line in f]
-    with open(os.path.join(REPO, "tests", "examples", "dev.trg")) as f:
+    with open(os.path.join(variant[2], "dev.trg")) as f:
         dev_trg = [line.rstrip("\n") for line in f]
 
     hypos = []

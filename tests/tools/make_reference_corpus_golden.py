@@ -64,8 +64,11 @@ TRAIN_STEPS = 600
 BATCH_SIZE = 64
 LR = 2e-3
 SEED = 7
+DIM = 32
 
 POST_NORM = False  # overridden by main() for the post-norm fixture
+WIDE = False       # --wide: 240-dev-sentence 200-word corpus
+                   # (tests/tools/gen_wide_corpus.py), d=64 model
 
 
 def model_params():
@@ -74,14 +77,14 @@ def model_params():
     params.update({
         "modality.share_source_target_embedding": False,
         "modality.share_embedding_and_softmax_weights": True,
-        "modality.dim": 32,
+        "modality.dim": DIM,
         "modality.timing": "sinusoids",
     })
     for side in ("encoder", "decoder"):
         params[f"{side}.num_layers"] = 2
-        params[f"{side}.hidden_size"] = 32
+        params[f"{side}.hidden_size"] = DIM
         params[f"{side}.num_attention_heads"] = 4
-        params[f"{side}.filter_size"] = 64
+        params[f"{side}.filter_size"] = 2 * DIM
         params[f"{side}.attention_dropout_rate"] = 0.0
         params[f"{side}.ffn_dropout_rate"] = 0.0
         params[f"{side}.layer_postprocess_dropout_rate"] = 0.0
@@ -194,7 +197,8 @@ def main():
         print("  hypo:", h)
 
     ckpt_dir = os.path.join(
-        OUT_DIR, "corpus_tf_ckpt_postnorm" if POST_NORM
+        OUT_DIR, "corpus_tf_ckpt_wide" if WIDE
+        else "corpus_tf_ckpt_postnorm" if POST_NORM
         else "corpus_tf_ckpt")
     os.makedirs(ckpt_dir, exist_ok=True)
     ckpt = tf.train.Checkpoint(
@@ -215,7 +219,9 @@ def main():
         "hypotheses": hypos,
         "train_steps": TRAIN_STEPS,
     }
-    tag = "corpus_golden_postnorm" if POST_NORM else "corpus_golden"
+    tag = ("corpus_golden_wide" if WIDE
+           else "corpus_golden_postnorm" if POST_NORM
+           else "corpus_golden")
     with open(os.path.join(OUT_DIR, f"{tag}.json"), "w") as f:
         json.dump(golden, f, indent=1)
     print(f"wrote {ckpt_dir} and {tag}.json")
@@ -225,5 +231,14 @@ if __name__ == "__main__":
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--post_norm", action="store_true")
-    POST_NORM = ap.parse_args().post_norm
+    ap.add_argument("--wide", action="store_true",
+                    help="240-dev-sentence 200-word corpus "
+                         "(gen_wide_corpus.py), d=64 model, more steps")
+    _args = ap.parse_args()
+    POST_NORM = _args.post_norm
+    WIDE = _args.wide
+    if WIDE:
+        EXAMPLES = os.path.join(EXAMPLES, "wide")
+        DIM = 64
+        TRAIN_STEPS = 1500
     main()

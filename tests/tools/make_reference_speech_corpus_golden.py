@@ -50,6 +50,7 @@ SEARCH_PARAMS = {"beam_size": 4, "length_penalty": 0.6,
                  "minimum_decode_length": 1}
 STEPS = 400
 SEED = 13
+WIDE = False  # --wide: 64 utterances, frames 9..40, 800 steps
 
 
 def make_corpus():
@@ -136,7 +137,9 @@ def main():
                 == targets[i])
     print(f"memorized {exact}/{N_UTTS} utterances")
 
-    ckpt_dir = os.path.join(OUT_DIR, "speech_corpus_tf_ckpt")
+    ckpt_dir = os.path.join(
+        OUT_DIR, "speech_corpus_tf_ckpt_wide" if WIDE
+        else "speech_corpus_tf_ckpt")
     os.makedirs(ckpt_dir, exist_ok=True)
     ckpt = tf.train.Checkpoint(
         **{x.name.split(":")[0]: x for x in model.weights})
@@ -144,8 +147,10 @@ def main():
     with open(os.path.join(ckpt_dir, "checkpoint"), "w") as fw:
         fw.write(f'model_checkpoint_path: "ckpt-{STEPS}"\n')
 
+    tag = ("speech_corpus_golden_wide" if WIDE
+           else "speech_corpus_golden")
     np.savez_compressed(
-        os.path.join(OUT_DIR, "speech_corpus_golden.npz"),
+        os.path.join(OUT_DIR, f"{tag}.npz"),
         feats=feats, lengths=lengths, hypo_ids=hypo_ids,
         __meta__=np.frombuffer(json.dumps({
             "src_meta": SRC_META, "trg_meta": TRG_META,
@@ -154,8 +159,18 @@ def main():
                              if isinstance(v, (int, float, bool, str,
                                                type(None)))},
         }).encode(), np.uint8))
-    print(f"wrote {ckpt_dir} and speech_corpus_golden.npz")
+    print(f"wrote {ckpt_dir} and {tag}.npz")
 
 
 if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--wide", action="store_true",
+                    help="64 mixed-length utterances (frames 9..40), "
+                         "800 memorization steps")
+    if ap.parse_args().wide:
+        WIDE = True
+        N_UTTS = 64
+        FRAMES = (9, 12, 16, 20, 24, 28, 32, 40)
+        STEPS = 800
     main()
