@@ -22,7 +22,6 @@ Computed in float32 on top of (possibly bf16) logits.
 """
 
 import math
-import os
 
 import jax
 import jax.numpy as jnp
@@ -49,37 +48,47 @@ class LabelSmoothedCrossEntropy(Criterion):
         return [Flag("label_smoothing", dtype=Flag.TYPE.FLOAT, default=0.,
                      help="The label smoothing constant.")]
 
+    # the train step checks this before requesting prelogits (the
+    # profile tool's logits-mean ablation subclass sets it False)
+    supports_prelogits = True
+
     def __call__(self, model_inp: dict, model_out):
-        """Returns (nll_sum [B], n_samples [1], n_tokens [B])."""
-        logits = model_out["logits"] if isinstance(model_out, dict) \
-            else model_out
+        """Returns (nll_sum [B], n_samples [1], n_tokens [B]).
+
+        ``model_out`` is the logits tensor, a dict with "logits", or —
+        on the fused softmax+CE training path — a dict with
+        "prelogits"/"softmax_w"(/"softmax_bias"): then the projection
+        and the cross entropy run in one Pallas kernel and the
+        [B, T, V] logits never reach HBM (ops/fused_ce, ~37 -> ~25 ms
+        of the transformer_base step; see tools/PROFILE_train_step.json).
+        """
         labels = model_inp["trg"].astype(jnp.int32)
-        vocab_size = logits.shape[-1]
+        prelogits = model_out.get("prelogits") \
+            if isinstance(model_out, dict) else None
+        if prelogits is not None:
+            logits = None
+            vocab_size = model_out["softmax_w"].shape[0]
+        else:
+            logits = model_out["logits"] if isinstance(model_out, dict) \
+                else model_out
+            vocab_size = logits.shape[-1]
 
         confidence = 1.0 - self._label_smoothing
         low_confidence = self._label_smoothing / (vocab_size - 1)
-        # Fused soft-target cross entropy: with logp_v = z_v - lse,
-        #   -sum_v soft_v * logp_v
-        #     = -(conf - low) * (z_label - lse) - low * (sum_v z_v - V*lse)
-        # Only [B,T] reductions are kept; the [B,T,V] f32 log-probs
-        # tensor (2 GB at transformer_base bench shapes) is never
-        # materialized — the f32 casts fuse into the reductions, and
-        # the softmax needed for the gradient is recomputed inside the
-        # backward fusion.
-        use_fused = False
-        if os.environ.get("NEURST_FUSED_CE"):
-            # Pallas CE kernel: 19.4 vs 29.3 ms ISOLATED on v5e, but
-            # 199 vs 195 ms inside the full transformer_base step — the
-            # kernel boundary breaks XLA's softmax-matmul epilogue /
-            # dW-prologue fusions, so the XLA path stays the default.
-            # Kept opt-in for larger-vocab / inference-scoring regimes.
-            from neurst_tpu.ops.fused_ce import (fused_ce_available,
-                                                 fused_softmax_xent)
-            use_fused = fused_ce_available(vocab_size)
-        if use_fused:
-            xent = fused_softmax_xent(logits, labels, confidence,
-                                      low_confidence)
+        if prelogits is not None:
+            # fused projection + CE (falls back to the identical jnp
+            # formula off-TPU inside fused_linear_xent)
+            from neurst_tpu.ops.fused_ce import fused_linear_xent
+            xent = fused_linear_xent(
+                prelogits, model_out["softmax_w"], labels, confidence,
+                low_confidence, bias=model_out.get("softmax_bias"))
         else:
+            # Fused soft-target cross entropy: with logp_v = z_v - lse,
+            #   -sum_v soft_v * logp_v
+            #     = -(conf-low) * (z_label - lse) - low * (sum z - V*lse)
+            # Only [B,T] reductions are kept; the f32 casts fuse into
+            # the reductions and the softmax needed for the gradient is
+            # recomputed inside the backward fusion.
             z32 = logits.astype(jnp.float32)
             lse = jax.scipy.special.logsumexp(z32, axis=-1)
             label_z = jnp.take_along_axis(z32, labels[..., None],

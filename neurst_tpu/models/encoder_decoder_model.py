@@ -151,13 +151,28 @@ class Seq2SeqModule(nn.Module):
         enc = self.encoder(emb, src_padding, is_training=is_training)
         return enc, src_padding
 
-    def __call__(self, inputs, is_training=False):
-        """Teacher-forcing forward -> logits [B, T, trg_vocab]."""
+    def __call__(self, inputs, is_training=False, return_prelogits=False):
+        """Teacher-forcing forward -> logits [B, T, trg_vocab].
+
+        With ``return_prelogits`` (fused softmax+CE training path,
+        ops/fused_ce.fused_linear_xent): returns a dict holding the
+        PRE-projection decoder output plus the softmax weights in
+        [V, D] layout instead — the [B, T, V] logits tensor is then
+        never materialized (it is the HBM bottleneck of the train
+        step).  Only valid with shared embedding/softmax weights
+        (supports_fused_softmax_ce gates on it)."""
         enc, src_padding = self.encode(inputs, is_training=is_training)
         trg_emb = self.trg_modality(inputs["trg_input"])
         dec_out, _ = self.decoder(
             trg_emb, memory=enc, memory_padding=src_padding,
             is_training=is_training)
+        if return_prelogits:
+            mod = self.trg_modality
+            out = {"prelogits": dec_out,
+                   "softmax_w": jnp.asarray(mod.weights)}
+            if mod.use_bias:
+                out["softmax_bias"] = jnp.asarray(mod.softmax_bias)
+            return out
         return self.output_logits(dec_out)
 
     def init_cache(self, encoder_outputs, memory_padding,
@@ -315,16 +330,45 @@ class EncoderDecoderModel(BaseModel):
             {"params": params}, inputs=inputs, is_training=is_training,
             rngs=rngs or {})
 
-    def call_train(self, params, inputs, rngs=None):
-        """Training forward -> (logits, aux_loss): collects losses sown
-        by conditional-computation layers (MoE load balancing)."""
-        logits, variables = self._module.apply(
+    def call_train(self, params, inputs, rngs=None, want_prelogits=False):
+        """Training forward -> (model_out, aux_loss): collects losses
+        sown by conditional-computation layers (MoE load balancing).
+
+        ``want_prelogits`` (set by the train step when the fused
+        softmax+CE path applies — see supports_fused_softmax_ce)
+        returns the prelogits dict instead of logits; the criterion
+        consumes either."""
+        kwargs = {"return_prelogits": True} if want_prelogits else {}
+        out, variables = self._module.apply(
             {"params": params}, inputs=inputs, is_training=True,
-            rngs=rngs or {}, mutable=["losses"])
+            rngs=rngs or {}, mutable=["losses"], **kwargs)
         aux = jnp.zeros([], jnp.float32)
         for leaf in jax.tree_util.tree_leaves(variables.get("losses", {})):
             aux = aux + jnp.sum(leaf).astype(jnp.float32)
-        return logits, aux
+        return out, aux
+
+    def supports_fused_softmax_ce(self) -> bool:
+        """Whether the train step may request prelogits and fuse the
+        vocab projection into the CE kernel: needs the stock
+        Seq2SeqModule forward (subclasses overriding __call__ don't
+        plumb return_prelogits), tied embedding/softmax weights (the
+        only [V, D]-layout softmax this module has), no QAT/int8 (the
+        fused path would skip their fake-quant/dequant semantics), and
+        lane-aligned dims with a VMEM-resident-W-sized vocab
+        (ops/fused_ce.fused_linear_ce_available)."""
+        from neurst_tpu.layers.quantization.quant_layers import (
+            int8_serving_enabled, quant_enabled)
+        m = self._module
+        if type(m).__call__ is not Seq2SeqModule.__call__:
+            return False
+        if not m.share_embedding_and_softmax_weights:
+            return False
+        if quant_enabled() or int8_serving_enabled():
+            return False
+        v = self._trg_meta["vocab_size"]
+        d = m.trg_dim
+        # the backward holds a [V, D] f32 dW accumulator in VMEM
+        return v % 128 == 0 and d % 128 == 0 and v * d * 4 <= 80 * 2**20
 
     # ----------------------- generation ------------------------- #
 

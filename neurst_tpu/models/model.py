@@ -116,14 +116,22 @@ class BaseModel(object):
         raise NotImplementedError
 
     def call_train(self, params, inputs: dict,
-                   rngs: Optional[dict] = None):
+                   rngs: Optional[dict] = None,
+                   want_prelogits: bool = False):
         """Training forward -> (logits, auxiliary_loss).
 
         The auxiliary loss is a scalar added to the criterion loss by
         the train step (zero unless the model sows into the "losses"
-        collection, e.g. the MoE load-balancing loss)."""
+        collection, e.g. the MoE load-balancing loss).
+        ``want_prelogits`` is ignored here — models that can skip the
+        logits materialization for the fused softmax+CE train path
+        override this AND supports_fused_softmax_ce."""
+        del want_prelogits
         return (self.call(params, inputs, is_training=True, rngs=rngs),
                 jnp.zeros([], jnp.float32))
+
+    def supports_fused_softmax_ce(self) -> bool:
+        return False
 
     def __call__(self, params, inputs, is_training=False, rngs=None):
         return self.call(params, inputs, is_training=is_training, rngs=rngs)

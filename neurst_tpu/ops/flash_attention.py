@@ -28,6 +28,19 @@ recomputes attention probabilities blockwise in two Pallas kernels
 (dq over q-blocks; dk/dv over k-blocks), so the [T_q, T_k] matrix is
 never materialized in the backward either.
 
+Performance shape (v2, this file): the v1 kernels ran one
+(batch*head) slice per grid program and upcast q/k/v to float32
+before every dot.  At training shapes (T=128, 2048 slices) that made
+flash LOSE to XLA's dense attention: the per-program DMA waits
+dominated (~6000 tiny programs per step), and f32 matmuls run the MXU
+at a quarter rate.  v2 (a) BATCHES ``block_b`` (batch*head) slices per
+program — one DMA brings bb slices of K/V, an in-kernel loop sweeps
+them — and (b) feeds the MXU its native mixed precision: dots take the
+INPUT dtype (bf16) with float32 accumulation
+(``preferred_element_type``), probabilities are cast back to the value
+dtype for the P@V / dS@K / P^T@dO products (the FlashAttention
+standard), and all online-softmax statistics stay float32.
+
 Supports sequence masking via per-example key lengths and causal
 masking.
 
@@ -83,203 +96,244 @@ def _keep_tile(seed_ref, bn, qi, kj, shape, threshold: int):
 def _fwd_kernel(lengths_ref, seed_ref, q_ref, k_ref, v_ref, o_ref,
                 lse_ref, *, block_k: int, causal: bool, scale: float,
                 threshold: int, inv_keep: float):
-    """One (batch*head, q_block) program.
+    """One (bb-slice group, q_block) program.
 
-    q_ref: [1, block_q, head_dim]; k_ref/v_ref: [1, t_k, head_dim]
-    (VMEM); lengths_ref: SMEM [B*N] valid key length per row;
-    o_ref: [1, block_q, head_dim]; lse_ref: [1, 1, block_q] float32
-    row logsumexp (saved for the backward; the leading singleton keeps
-    the Mosaic block shape legal — sublane dim == array dim).
-    """
-    _, block_q, head_dim = q_ref.shape
+    q_ref: [bb, block_q, head_dim]; k_ref/v_ref: [bb, t_k, head_dim]
+    (VMEM); lengths_ref: SMEM [B*N] valid key length per slice;
+    o_ref: [bb, block_q, head_dim]; lse_ref: [bb, 1, block_q] float32
+    row logsumexp (saved for the backward; the middle singleton keeps
+    the Mosaic block shape legal — sublane dim == array dim)."""
+    bb, block_q, head_dim = q_ref.shape
     t_k = k_ref.shape[1]
     qi = pl.program_id(1)
-    valid_len = lengths_ref[pl.program_id(0)]
-
-    q = q_ref[0].astype(jnp.float32) * scale
-
+    bn0 = pl.program_id(0) * bb
     num_kb = t_k // block_k
-
-    def body(j, carry):
-        acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        # [block_q, block_k]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        col = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1)
-        mask = col < valid_len
-        if causal:
-            row = qi * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0)
-            mask = jnp.logical_and(mask, col <= row)
-        s = jnp.where(mask, s, NEG_INF)
-        m_cur = jnp.max(s, axis=1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new[:, None])
-        # fully-masked rows: s - m_new == 0 would give p == 1; zero them
-        p = jnp.where(mask, p, 0.0)
-        alpha = jnp.exp(m_prev - m_new)
-        # the normalizer accumulates the UN-dropped probabilities
-        # (dense semantics: softmax first, then dropout)
-        l_new = l_prev * alpha + jnp.sum(p, axis=1)
-        if threshold:
-            keep = _keep_tile(seed_ref, pl.program_id(0), qi, j,
-                              p.shape, threshold)
-            pd = jnp.where(keep, p * inv_keep, 0.0)
-        else:
-            pd = p
-        acc = acc * alpha[:, None] + jax.lax.dot_general(
-            pd, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return acc, m_new, l_new
-
-    init = (jnp.zeros((block_q, head_dim), jnp.float32),
-            jnp.full((block_q,), NEG_INF, jnp.float32),
-            jnp.zeros((block_q,), jnp.float32))
+    prec = (jax.lax.Precision.DEFAULT if q_ref.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     if causal:
         # only k-blocks overlapping rows <= (qi+1)*block_q - 1 contribute
         upper = jnp.minimum(
             num_kb, ((qi + 1) * block_q + block_k - 1) // block_k)
-        acc, m, l = jax.lax.fori_loop(0, upper, body, init)
     else:
-        acc, m, l = jax.lax.fori_loop(0, num_kb, body, init)
-    o_ref[0] = (acc / jnp.maximum(l, 1e-20)[:, None]).astype(o_ref.dtype)
-    lse_ref[0, 0] = jnp.where(
-        l > 0.0, m + jnp.log(jnp.maximum(l, 1e-37)), NEG_INF)
+        upper = num_kb
+
+    def one_slice(s, _):
+        valid_len = lengths_ref[bn0 + s]
+        q = q_ref[pl.ds(s, 1), :, :][0]  # input dtype (bf16 on MXU)
+
+        def body(j, carry):
+            acc, m_prev, l_prev = carry
+            k = k_ref[pl.ds(s, 1), pl.ds(j * block_k, block_k), :][0]
+            v = v_ref[pl.ds(s, 1), pl.ds(j * block_k, block_k), :][0]
+            # [block_q, block_k] — native-dtype dot, f32 accumulation
+            st = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec) * scale
+            col = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            mask = col < valid_len
+            if causal:
+                row = qi * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0)
+                mask = jnp.logical_and(mask, col <= row)
+            st = jnp.where(mask, st, NEG_INF)
+            m_cur = jnp.max(st, axis=1)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(st - m_new[:, None])
+            # fully-masked rows: st - m_new == 0 would give p == 1
+            p = jnp.where(mask, p, 0.0)
+            alpha = jnp.exp(m_prev - m_new)
+            # the normalizer accumulates the UN-dropped probabilities
+            # (dense semantics: softmax first, then dropout)
+            l_new = l_prev * alpha + jnp.sum(p, axis=1)
+            if threshold:
+                keep = _keep_tile(seed_ref, bn0 + s, qi, j,
+                                  p.shape, threshold)
+                pd = jnp.where(keep, p * inv_keep, 0.0)
+            else:
+                pd = p
+            acc = acc * alpha[:, None] + jax.lax.dot_general(
+                pd.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)
+            return acc, m_new, l_new
+
+        init = (jnp.zeros((block_q, head_dim), jnp.float32),
+                jnp.full((block_q,), NEG_INF, jnp.float32),
+                jnp.zeros((block_q,), jnp.float32))
+        acc, m, l = jax.lax.fori_loop(0, upper, body, init)
+        o_ref[pl.ds(s, 1)] = (acc / jnp.maximum(l, 1e-20)[:, None]
+                              ).astype(o_ref.dtype)[None]
+        lse_ref[pl.ds(s, 1)] = jnp.where(
+            l > 0.0, m + jnp.log(jnp.maximum(l, 1e-37)),
+            NEG_INF)[None, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, bb, one_slice, 0)
 
 
 def _dq_kernel(lengths_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
                lse_ref, delta_ref, dq_ref, *, block_k: int, causal: bool,
                scale: float, threshold: int, inv_keep: float):
-    """dQ for one (batch*head, q_block) program: stream over k-blocks,
-    recomputing probabilities from the saved logsumexp."""
-    _, block_q, head_dim = q_ref.shape
+    """dQ for one (bb-slice group, q_block) program: stream over
+    k-blocks, recomputing probabilities from the saved logsumexp."""
+    bb, block_q, head_dim = q_ref.shape
     t_k = k_ref.shape[1]
     qi = pl.program_id(1)
-    valid_len = lengths_ref[pl.program_id(0)]
-
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0]
-    delta = delta_ref[0, 0]
+    bn0 = pl.program_id(0) * bb
     num_kb = t_k // block_k
-
-    def body(j, acc):
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        col = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1)
-        mask = col < valid_len
-        if causal:
-            row = qi * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0)
-            mask = jnp.logical_and(mask, col <= row)
-        s = jnp.where(mask, s, NEG_INF)
-        p = jnp.exp(s - lse[:, None])
-        p = jnp.where(mask, p, 0.0)
-        # dp = dO V^T ; without dropout ds = p * (dp - delta); with it
-        # ds = pm * dp - p * delta (pm = regenerated-mask-dropped p)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        if threshold:
-            keep = _keep_tile(seed_ref, pl.program_id(0), qi, j,
-                              p.shape, threshold)
-            pm = jnp.where(keep, p * inv_keep, 0.0)
-        else:
-            pm = p
-        ds = pm * dp - p * delta[:, None]
-        return acc + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
+    prec = (jax.lax.Precision.DEFAULT if q_ref.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     if causal:
         upper = jnp.minimum(
             num_kb, ((qi + 1) * block_q + block_k - 1) // block_k)
+    else:
+        upper = num_kb
+
+    def one_slice(s, _):
+        valid_len = lengths_ref[bn0 + s]
+        q = q_ref[pl.ds(s, 1), :, :][0]
+        do = do_ref[pl.ds(s, 1), :, :][0]
+        lse = lse_ref[pl.ds(s, 1)][0, 0]
+        delta = delta_ref[pl.ds(s, 1)][0, 0]
+
+        def body(j, acc):
+            k = k_ref[pl.ds(s, 1), pl.ds(j * block_k, block_k), :][0]
+            v = v_ref[pl.ds(s, 1), pl.ds(j * block_k, block_k), :][0]
+            st = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec) * scale
+            col = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            mask = col < valid_len
+            if causal:
+                row = qi * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0)
+                mask = jnp.logical_and(mask, col <= row)
+            st = jnp.where(mask, st, NEG_INF)
+            p = jnp.exp(st - lse[:, None])
+            p = jnp.where(mask, p, 0.0)
+            # dp = dO V^T ; without dropout ds = p * (dp - delta); with
+            # it ds = pm * dp - p * delta (pm = regenerated-mask p)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)
+            if threshold:
+                keep = _keep_tile(seed_ref, bn0 + s, qi, j,
+                                  p.shape, threshold)
+                pm = jnp.where(keep, p * inv_keep, 0.0)
+            else:
+                pm = p
+            ds = pm * dp - p * delta[:, None]
+            return acc + jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)
+
         acc = jax.lax.fori_loop(
             0, upper, body, jnp.zeros((block_q, head_dim), jnp.float32))
-    else:
-        acc = jax.lax.fori_loop(
-            0, num_kb, body, jnp.zeros((block_q, head_dim), jnp.float32))
-    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+        dq_ref[pl.ds(s, 1)] = (acc * scale).astype(dq_ref.dtype)[None]
+        return 0
+
+    jax.lax.fori_loop(0, bb, one_slice, 0)
 
 
 def _dkv_kernel(lengths_ref, seed_ref, k_ref, v_ref, q_ref, do_ref,
                 lse_ref, delta_ref, dk_ref, dv_ref, *, block_q: int,
                 causal: bool, scale: float, threshold: int,
                 inv_keep: float):
-    """dK/dV for one (batch*head, k_block) program: stream over
+    """dK/dV for one (bb-slice group, k_block) program: stream over
     q-blocks."""
-    _, block_k, head_dim = k_ref.shape
+    bb, block_k, head_dim = k_ref.shape
     t_q = q_ref.shape[1]
     ki = pl.program_id(1)
-    valid_len = lengths_ref[pl.program_id(0)]
-
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    bn0 = pl.program_id(0) * bb
     num_qb = t_q // block_q
+    prec = (jax.lax.Precision.DEFAULT if k_ref.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    # only q-blocks at or after this k-block contribute under causality
+    lower = (ki * block_k) // block_q if causal else 0
 
-    def body(i, carry):
-        dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)]
-        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        col = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1)
-        mask = col < valid_len
-        if causal:
-            row = i * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0)
-            mask = jnp.logical_and(mask, col <= row)
-        s = jnp.where(mask, s, NEG_INF)
-        p = jnp.exp(s - lse[:, None])
-        p = jnp.where(mask, p, 0.0)
-        if threshold:
-            # the tile (q-block i, k-block ki) regenerates the same
-            # bits the forward drew for it
-            keep = _keep_tile(seed_ref, pl.program_id(0), i, ki,
-                              p.shape, threshold)
-            pm = jnp.where(keep, p * inv_keep, 0.0)
-        else:
-            pm = p
-        # dv += (dropped P)^T dO
-        dv_acc = dv_acc + jax.lax.dot_general(
-            pm, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ds = pm * dp - p * delta[:, None]
-        # dk += dS^T Q
-        dk_acc = dk_acc + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return dk_acc, dv_acc
+    def one_slice(s, _):
+        valid_len = lengths_ref[bn0 + s]
+        k = k_ref[pl.ds(s, 1), :, :][0]
+        v = v_ref[pl.ds(s, 1), :, :][0]
 
-    init = (jnp.zeros((block_k, head_dim), jnp.float32),
-            jnp.zeros((block_k, head_dim), jnp.float32))
-    if causal:
-        # only q-blocks at or after this k-block contribute
-        lower = (ki * block_k) // block_q
+        def body(i, carry):
+            dk_acc, dv_acc = carry
+            q = q_ref[pl.ds(s, 1), pl.ds(i * block_q, block_q), :][0]
+            do = do_ref[pl.ds(s, 1), pl.ds(i * block_q, block_q), :][0]
+            lse = lse_ref[pl.ds(s, 1), :, pl.ds(i * block_q, block_q)][0, 0]
+            delta = delta_ref[pl.ds(s, 1), :,
+                              pl.ds(i * block_q, block_q)][0, 0]
+            st = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec) * scale
+            col = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            mask = col < valid_len
+            if causal:
+                row = i * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0)
+                mask = jnp.logical_and(mask, col <= row)
+            st = jnp.where(mask, st, NEG_INF)
+            p = jnp.exp(st - lse[:, None])
+            p = jnp.where(mask, p, 0.0)
+            if threshold:
+                # the tile (q-block i, k-block ki) regenerates the same
+                # bits the forward drew for it
+                keep = _keep_tile(seed_ref, bn0 + s, i, ki,
+                                  p.shape, threshold)
+                pm = jnp.where(keep, p * inv_keep, 0.0)
+            else:
+                pm = p
+            # dv += (dropped P)^T dO
+            pmc = pm.astype(do.dtype)
+            dv_acc = dv_acc + jax.lax.dot_general(
+                pmc, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)
+            ds = pm * dp - p * delta[:, None]
+            # dk += dS^T Q
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)
+            return dk_acc, dv_acc
+
+        init = (jnp.zeros((block_k, head_dim), jnp.float32),
+                jnp.zeros((block_k, head_dim), jnp.float32))
         dk_acc, dv_acc = jax.lax.fori_loop(lower, num_qb, body, init)
-    else:
-        dk_acc, dv_acc = jax.lax.fori_loop(0, num_qb, body, init)
-    dk_ref[0] = (dk_acc * scale).astype(dk_ref.dtype)
-    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+        dk_ref[pl.ds(s, 1)] = (dk_acc * scale).astype(dk_ref.dtype)[None]
+        dv_ref[pl.ds(s, 1)] = dv_acc.astype(dv_ref.dtype)[None]
+        return 0
+
+    jax.lax.fori_loop(0, bb, one_slice, 0)
 
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
+
+
+def _pick_bb(bn: int, slice_bytes: int, budget: int = 4 << 20) -> int:
+    """How many (batch*head) slices to batch per grid program: the
+    largest power of two dividing ``bn`` whose blocked operands fit a
+    VMEM budget (double buffering costs another 2x on top).  v1 used 1
+    slice/program; at T=128 that is ~6000 tiny programs per training
+    step and the DMA waits dominate the kernel."""
+    bb = 1
+    while (bb < 64 and bn % (bb * 2) == 0
+           and (bb * 2) * slice_bytes <= budget):
+        bb *= 2
+    return bb
 
 
 def _prep(q, k, v, lengths, block_q, block_k):
@@ -314,7 +368,9 @@ def _fwd_impl(q, k, v, lengths, seed2, causal, block_q, block_k,
         q, k, v, lengths, block_q, block_k)
     scale = 1.0 / math.sqrt(h)
     threshold, inv_keep = _drop_consts(dropout_rate)
-    grid = (b * n, pt_q // block_q)
+    itemsize = 2 if qt.dtype == jnp.bfloat16 else 4
+    bb = _pick_bb(b * n, (2 * pt_k + 2 * block_q) * h * itemsize)
+    grid = (b * n // bb, pt_q // block_q)
     kernel = functools.partial(_fwd_kernel, block_k=block_k,
                                causal=causal, scale=scale,
                                threshold=threshold, inv_keep=inv_keep)
@@ -324,19 +380,19 @@ def _fwd_impl(q, k, v, lengths, seed2, causal, block_q, block_k,
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_q, h),
+                pl.BlockSpec((bb, block_q, h),
                              lambda bn, qi, *_: (bn, qi, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, pt_k, h), lambda bn, qi, *_: (bn, 0, 0),
+                pl.BlockSpec((bb, pt_k, h), lambda bn, qi, *_: (bn, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, pt_k, h), lambda bn, qi, *_: (bn, 0, 0),
+                pl.BlockSpec((bb, pt_k, h), lambda bn, qi, *_: (bn, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, block_q, h),
+                pl.BlockSpec((bb, block_q, h),
                              lambda bn, qi, *_: (bn, qi, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, block_q),
+                pl.BlockSpec((bb, 1, block_q),
                              lambda bn, qi, *_: (bn, 0, qi),
                              memory_space=pltpu.VMEM),
             ],
@@ -345,6 +401,9 @@ def _fwd_impl(q, k, v, lengths, seed2, causal, block_q, block_k,
             jax.ShapeDtypeStruct((b * n, pt_q, h), q.dtype),
             jax.ShapeDtypeStruct((b * n, 1, pt_q), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(lengths_bn, seed2, qt, kt, vt)
     o = out.reshape(b, n, pt_q, h).transpose(0, 2, 1, 3)[:, :t_q]
@@ -367,6 +426,9 @@ def _bwd_impl(res, do4, causal, block_q, block_k, interpret,
     delta = jnp.sum(dot.astype(jnp.float32) * ot.astype(jnp.float32),
                     axis=-1)[:, None, :]  # [B*N, 1, pt_q] like lse
 
+    itemsize = 2 if qt.dtype == jnp.bfloat16 else 4
+    bb = _pick_bb(
+        b * n, (2 * pt_k + 3 * block_q) * h * itemsize + 8 * block_q)
     dq_kernel = functools.partial(_dq_kernel, block_k=block_k,
                                   causal=causal, scale=scale,
                                   threshold=threshold, inv_keep=inv_keep)
@@ -374,33 +436,38 @@ def _bwd_impl(res, do4, causal, block_q, block_k, interpret,
         dq_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(b * n, pt_q // block_q),
+            grid=(b * n // bb, pt_q // block_q),
             in_specs=[
-                pl.BlockSpec((1, block_q, h),
+                pl.BlockSpec((bb, block_q, h),
                              lambda bn, qi, *_: (bn, qi, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, pt_k, h), lambda bn, qi, *_: (bn, 0, 0),
+                pl.BlockSpec((bb, pt_k, h), lambda bn, qi, *_: (bn, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, pt_k, h), lambda bn, qi, *_: (bn, 0, 0),
+                pl.BlockSpec((bb, pt_k, h), lambda bn, qi, *_: (bn, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q, h),
+                pl.BlockSpec((bb, block_q, h),
                              lambda bn, qi, *_: (bn, qi, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, block_q),
+                pl.BlockSpec((bb, 1, block_q),
                              lambda bn, qi, *_: (bn, 0, qi),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, block_q),
+                pl.BlockSpec((bb, 1, block_q),
                              lambda bn, qi, *_: (bn, 0, qi),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, block_q, h),
+            out_specs=pl.BlockSpec((bb, block_q, h),
                                    lambda bn, qi, *_: (bn, qi, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((b * n, pt_q, h), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(lengths_bn, seed2, qt, kt, vt, dot, lse, delta)
 
+    bb2 = _pick_bb(
+        b * n, (4 * block_k + 2 * pt_q) * h * itemsize + 8 * pt_q)
     dkv_kernel = functools.partial(_dkv_kernel, block_q=block_q,
                                    causal=causal, scale=scale,
                                    threshold=threshold, inv_keep=inv_keep)
@@ -408,30 +475,30 @@ def _bwd_impl(res, do4, causal, block_q, block_k, interpret,
         dkv_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(b * n, pt_k // block_k),
+            grid=(b * n // bb2, pt_k // block_k),
             in_specs=[
-                pl.BlockSpec((1, block_k, h),
+                pl.BlockSpec((bb2, block_k, h),
                              lambda bn, ki, *_: (bn, ki, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_k, h),
+                pl.BlockSpec((bb2, block_k, h),
                              lambda bn, ki, *_: (bn, ki, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, pt_q, h), lambda bn, ki, *_: (bn, 0, 0),
+                pl.BlockSpec((bb2, pt_q, h), lambda bn, ki, *_: (bn, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, pt_q, h), lambda bn, ki, *_: (bn, 0, 0),
+                pl.BlockSpec((bb2, pt_q, h), lambda bn, ki, *_: (bn, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, pt_q),
+                pl.BlockSpec((bb2, 1, pt_q),
                              lambda bn, ki, *_: (bn, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, pt_q),
+                pl.BlockSpec((bb2, 1, pt_q),
                              lambda bn, ki, *_: (bn, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, block_k, h),
+                pl.BlockSpec((bb2, block_k, h),
                              lambda bn, ki, *_: (bn, ki, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_k, h),
+                pl.BlockSpec((bb2, block_k, h),
                              lambda bn, ki, *_: (bn, ki, 0),
                              memory_space=pltpu.VMEM),
             ],
@@ -440,6 +507,9 @@ def _bwd_impl(res, do4, causal, block_q, block_k, interpret,
             jax.ShapeDtypeStruct((b * n, pt_k, h), k.dtype),
             jax.ShapeDtypeStruct((b * n, pt_k, h), v.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(lengths_bn, seed2, kt, vt, qt, dot, lse, delta)
 

@@ -24,6 +24,7 @@ Replaces the reference's GradAccumKerasModel + tf.distribute machinery
 * grad clip by value/norm before apply (gradaccum_keras_model.py:230-246).
 """
 
+import os
 from typing import Any, Callable, Optional
 
 import jax
@@ -61,18 +62,29 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
     penalty) to the loss.
     """
 
+    # Fused softmax+CE: when the model can hand back prelogits and the
+    # criterion understands them, the vocab projection runs inside the
+    # CE kernel and the [B, T, V] logits never reach HBM
+    # (ops/fused_ce.fused_linear_xent; NEURST_FUSED_CE=0 opts out).
+    want_prelogits = (
+        os.environ.get("NEURST_FUSED_CE", "1") != "0"
+        and getattr(criterion, "supports_prelogits", False)
+        and getattr(model, "supports_fused_softmax_ce", lambda: False)())
+
     def _forward(params, batch, rng):
         # call_train also surfaces model-internal auxiliary losses
         # (e.g. the MoE load-balancing term), which add to the
         # token-normalized criterion loss
-        logits, aux = model.call_train(params, batch,
-                                       rngs={"dropout": rng})
-        return criterion.reduce_loss(batch, logits) + aux, aux
+        out, aux = model.call_train(params, batch,
+                                    rngs={"dropout": rng},
+                                    want_prelogits=want_prelogits)
+        return criterion.reduce_loss(batch, out) + aux, aux
 
     def _forward_terms(params, batch, rng):
-        logits, aux = model.call_train(params, batch,
-                                       rngs={"dropout": rng})
-        loss_sum, denom = criterion.reduce_loss_terms(batch, logits)
+        out, aux = model.call_train(params, batch,
+                                    rngs={"dropout": rng},
+                                    want_prelogits=want_prelogits)
+        loss_sum, denom = criterion.reduce_loss_terms(batch, out)
         return loss_sum, denom, aux
 
     if remat:

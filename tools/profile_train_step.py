@@ -18,12 +18,14 @@ compute + bf16 params with f32 master) under controlled ablations so
 each subsystem's cost is attributable from DIFFERENCES of end-to-end
 steps (XLA fuses across op boundaries, so isolated op timings mislead):
 
-  baseline        dense attention, fused dropout, XLA-fused CE
+  baseline        dense attention, fused dropout, fused proj+CE
+                  (the default train configuration)
+  xla_ce          NEURST_FUSED_CE=0: XLA logits + CE (the pre-r4 path)
   flash           Pallas flash attention enc+dec (in-kernel dropout)
-  fused_ce        Pallas streaming CE kernel (NEURST_FUSED_CE=1)
   no_attn_drop    attention_dropout_rate = 0 (isolates attn-prob drop)
   no_dropout      every dropout rate 0 (PRNG+mask upper bound)
-  no_ce           criterion replaced by logits.mean() (CE+softmax cost)
+  no_ce           criterion replaced by logits.mean() (projection+CE
+                  region cost, unfused by construction)
 
 Writes tools/PROFILE_train_step.json (committed as the evidence
 artifact for the MFU target — VERDICT r3 #2) and prints one row per
@@ -82,6 +84,8 @@ def build_step(jax, flash=False, attn_dropout=True, dropout=True,
         criterion = LabelSmoothedCrossEntropy({"label_smoothing": 0.1})
     else:
         class _MeanLogits(LabelSmoothedCrossEntropy):
+            supports_prelogits = False  # reads raw logits below
+
             def reduce_loss(self, model_inp, model_out):
                 import jax.numpy as jnp
                 logits = model_out["logits"] if isinstance(
@@ -151,9 +155,8 @@ def main():
 
     variants = [
         ("baseline", {}),
+        ("xla_ce", {"_env": ("NEURST_FUSED_CE", "0")}),
         ("flash", {"flash": True}),
-        ("fused_ce", {"_env": "NEURST_FUSED_CE"}),
-        ("flash_fused_ce", {"flash": True, "_env": "NEURST_FUSED_CE"}),
         ("no_attn_drop", {"attn_dropout": False}),
         ("no_dropout", {"dropout": False}),
         ("no_ce", {"ce": False}),
@@ -162,7 +165,9 @@ def main():
     for name, kw in variants:
         env = kw.pop("_env", None)
         if env:
-            os.environ[env] = "1"
+            env, env_val = env
+            os.environ[env] = env_val
+        step_fn = state = None
         try:
             step_fn, state = build_step(jax, **kw)
             step_s = measure(jax, step_fn, state, batch, key)
@@ -191,7 +196,8 @@ def main():
 
     attribution = {
         "attention_dense_minus_flash_ms": delta("baseline", "flash"),
-        "ce_region_ms": delta("baseline", "no_ce"),
+        "fused_ce_win_ms": delta("xla_ce", "baseline"),
+        "fused_ce_region_ms": delta("baseline", "no_ce"),
         "attn_prob_dropout_ms": delta("baseline", "no_attn_drop"),
         "all_dropout_ms": delta("baseline", "no_dropout"),
     }
