@@ -18,22 +18,23 @@ reported as a gated extra A/B, alongside serving-dtype A/Bs,
 speculative decoding economics, long-audio flash, MoE routing overhead
 and scan-layers compile time.
 
-Round-3 component profile (measured on v5e, [256,128]): the r2 step
-(254 ms, MFU 0.25) decomposed into model fwd+bwd 241 ms / CE 29 ms,
-with DROPOUT (threefry bits + mask round-trips) accounting for 114 ms
-(139.6 ms with dropout off).  The Pallas hardware-PRNG dropout kernel
-(ops/fused_dropout.py) cut the step to 195 ms and --bf16_params to
-176.5 ms (185.6k tok/s, MFU 0.357).  A Pallas CE kernel measured
-faster isolated (19.4 vs 29.3 ms) but slower end-to-end (fusion
-breaks), so it stays opt-in.  Remaining floor: the no-dropout step is
-~140 ms, of which ~63 ms is MXU flops at d=512 — the rest is
-activation bandwidth, the honest bound for this model size.  Two more
-levers were measured against that bound and LOSE at this shape (both
-help only at long sequence / tight memory): flash attention enc+dec
-211.2 ms vs dense 182.4 (XLA's fused attention wins at T=128), and
-rematerialization 228.7 (full) / 233.3 (dots_no_batch_dims) vs 176.6
-without (recompute costs more than the activation traffic it saves
-when XLA has already fused the elementwise chain).
+Round-4 component profile (measured on v5e, [256,128]; ablations in
+tools/PROFILE_train_step.json): per-kernel xprof traces decomposed the
+r3 step (185.6 ms driver-captured, MFU 0.34) into an XLA CE region of
+~37 ms (a 4 GB f32 logits tensor written twice, read four times), an
+FFN region of ~38.5 ms against a ~29 ms MXU floor, an attention
+region of ~42.5 ms (HBM-bound on [B,N,T,T] materializations and AT its
+traffic floor: XLA's dense path beats both our flash-v2 kernels and a
+batched single-block Pallas kernel at T=128 — flash pays off from
+T ~ 1k), and f32 softmax residuals beyond that.  Round 4 fused the
+vocab projection into the CE loss (ops/fused_ce.fused_linear_xent;
+backward measured at 96%% of MXU peak), fused the whole FFN block into
+one Pallas kernel pair (ops/fused_ffn.py; the post-dropout hidden is
+the only residual), and made the attention softmax save bf16-rounded
+probabilities instead of f32 — step 185.6 -> ~152 ms (~215k trg-tok/s,
+MFU ~0.41), all on by default.  Still true from r3: rematerialization
+LOSES at this shape (228.7/233.3 vs 176.6 ms), and threefry dropout
+cost 114 ms before the hardware-PRNG kernels.
 
 Decode shape note (measured on v5e, speech_transformer_s beam-4,
 1024 frames): full-decode time is ~linear in batch*beam rows

@@ -99,11 +99,37 @@ class LayerNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Owns kernel/bias with nn.DenseGeneral's exact parameter names,
+    shapes and partition metadata, but hands the raw arrays back to
+    the caller — so TransformerFFN can feed them to the fused Pallas
+    FFN kernel (ops/fused_ffn.py) while checkpoints stay identical."""
+    features: int
+    kernel_init: Any
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param("kernel", self.kernel_init,
+                            (in_dim, self.features), jnp.float32)
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          jnp.float32)
+        return jnp.asarray(kernel), jnp.asarray(bias)
+
+
 class TransformerFFN(nn.Module):
     """Position-wise feed-forward: dense -> activation -> dropout -> dense.
 
     Parity: common_layers.TransformerFFN.  Kernels are annotated
     ("embed", "mlp") / ("mlp", "embed") for tensor-parallel sharding.
+
+    On TPU with the relu activation (and no QAT/int8), the whole block
+    runs as ONE Pallas kernel (ops/fused_ffn.py): the [rows, filter]
+    hidden — 128 MB per layer per direction at transformer_base
+    [256, 128] — never touches HBM, and ffn-dropout draws from the
+    on-core PRNG in-kernel.  Off-TPU and for tiny row counts (decode
+    steps) the identical jnp math runs instead; NEURST_FUSED_FFN=0
+    opts out entirely.  Parameter layout is IDENTICAL either way.
     """
     filter_size: int
     output_size: int
@@ -112,9 +138,25 @@ class TransformerFFN(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
+        import os
+
         from neurst_tpu.layers.quantization.quant_layers import (
-            dense_general, quant_enabled)
+            dense_general, int8_serving_enabled, quant_enabled)
         self._quant = quant_enabled()
+        self._raw_params = (
+            not self._quant and not int8_serving_enabled()
+            and self.activation == "relu"
+            and os.environ.get("NEURST_FUSED_FFN", "1") != "0")
+        if self._raw_params:
+            self.dense1 = _DenseParams(
+                features=self.filter_size, name="dense1",
+                kernel_init=nn.with_partitioning(
+                    nn.initializers.lecun_normal(), ("embed", "mlp")))
+            self.dense2 = _DenseParams(
+                features=self.output_size, name="dense2",
+                kernel_init=nn.with_partitioning(
+                    nn.initializers.lecun_normal(), ("mlp", "embed")))
+            return
         self.dense1 = dense_general(
             self.filter_size, dtype=self.dtype, name="dense1",
             activation=self.activation,
@@ -128,6 +170,28 @@ class TransformerFFN(nn.Module):
             bias_init=nn.initializers.zeros)
 
     def __call__(self, x, is_training: bool = False):
+        if self._raw_params:
+            from neurst_tpu.ops.fused_ffn import (fused_ffn,
+                                                  fused_ffn_available)
+            k1, b1 = self.dense1(x.shape[-1])
+            k2, b2 = self.dense2(self.filter_size)
+            rate = self.dropout_rate if is_training else 0.0
+            rows = x.size // x.shape[-1]
+            if fused_ffn_available(x.shape[-1], self.filter_size,
+                                   self.activation, rows):
+                key = (self.make_rng("dropout") if rate > 0.0 else None)
+                return fused_ffn(x, k1, b1, k2, b2, dropout_rate=rate,
+                                 dropout_key=key)
+            # identical math, plain XLA (CPU; decode-step row counts)
+            dt = self.dtype
+            h = jax.lax.dot_general(
+                x.astype(dt), k1.astype(dt),
+                (((x.ndim - 1,), (0,)), ((), ()))) + b1.astype(dt)
+            h = activation_by_name(self.activation)(h)
+            h = apply_dropout(self, h, self.dropout_rate, is_training)
+            return jax.lax.dot_general(
+                h, k2.astype(dt),
+                (((h.ndim - 1,), (0,)), ((), ()))) + b2.astype(dt)
         h = self.dense1(x)
         if not self._quant:
             # under QAT the quantized dense applies (and quantizes)

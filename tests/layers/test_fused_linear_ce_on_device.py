@@ -66,3 +66,48 @@ def test_linear_ce_compiled(dtype, rtol):
         e = np.abs(np.asarray(a, np.float32) - np.asarray(b)).max()
         s = np.abs(np.asarray(b)).max() + 1e-9
         assert e / s < max(rtol, 2e-2), (name, e, s)
+
+
+@pytest.mark.parametrize("rate", [0.0, 0.3])
+def test_fused_ffn_compiled(rate):
+    """Fused FFN on the chip: no-dropout equals the jnp math; with
+    dropout, the mean over seeds approaches the no-dropout output and
+    gradients flow finite (the mask regenerates in-kernel)."""
+    from neurst_tpu.ops.fused_ffn import fused_ffn
+    rng = np.random.RandomState(0)
+    r, d, f = 2048, 256, 512
+    x = jnp.asarray(rng.randn(r, d), jnp.bfloat16)
+    w1 = jnp.asarray(rng.randn(d, f) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.randn(f) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.randn(f, d) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.randn(d) * 0.1, jnp.float32)
+    key = jax.random.PRNGKey(11)
+
+    @jax.jit
+    def run(x):
+        return fused_ffn(x, w1, b1, w2, b2, dropout_rate=rate,
+                         dropout_key=key)
+
+    y = np.asarray(run(x), np.float32)
+    if rate == 0.0:
+        dt = jnp.bfloat16
+        h = jnp.maximum(x @ w1.astype(dt) + b1.astype(dt), 0)
+        ref = np.asarray(h @ w2.astype(dt) + b2.astype(dt), np.float32)
+        s = np.abs(ref).max() + 1e-9
+        assert np.abs(y - ref).max() / s < 2e-2
+    else:
+        # E over masks is tested in interpret-free fashion: mean of y
+        # over many keys approaches the no-dropout output
+        outs = [np.asarray(jax.jit(lambda x, k: fused_ffn(
+            x, w1, b1, w2, b2, dropout_rate=rate, dropout_key=k))(
+                x, jax.random.PRNGKey(100 + i)), np.float32)
+            for i in range(16)]
+        base = np.asarray(jax.jit(lambda x: fused_ffn(
+            x, w1, b1, w2, b2))(x), np.float32)
+        err = np.abs(np.mean(outs, axis=0) - base).max()
+        assert err < np.abs(base).max() * 0.5
+        # grads flow and are finite
+        g = jax.jit(jax.grad(lambda xx: jnp.sum(fused_ffn(
+            xx, w1, b1, w2, b2, dropout_rate=rate,
+            dropout_key=key).astype(jnp.float32))))(x)
+        assert np.isfinite(np.asarray(g, np.float32)).all()
