@@ -147,13 +147,29 @@ class MultiHeadAttention(nn.Module):
 
     def _flash_dropout(self, is_training):
         """(rate, key) for the IN-KERNEL attention-probability dropout
-        on the flash path — active when training on a real TPU backend
-        (the Pallas interpreter stubs the hardware PRNG); off-TPU the
-        flash path skips this dropout (model-build warning)."""
+        on the flash path — it needs the TPU hardware PRNG (the Pallas
+        interpreter stubs it), so training a flash recipe with
+        attention dropout off-TPU is a HARD config error: silently
+        dropping the rate to 0 would train a different model on CPU
+        than the same recipe trains on TPU.  Set
+        ``attention_dropout_rate: 0`` (or disable flash attention) to
+        run such a recipe off-TPU; ``NEURST_FLASH_DROPOUT_OFF_TPU=skip``
+        opts into the old skip-silently behavior for smoke tests."""
         if not is_training or self.attention_dropout_rate <= 0.0:
             return 0.0, None
         if jax.default_backend() != "tpu":
-            return 0.0, None
+            import os
+            if os.environ.get("NEURST_FLASH_DROPOUT_OFF_TPU") == "skip":
+                return 0.0, None
+            raise ValueError(
+                "flash attention applies attention-probability dropout "
+                f"in-kernel on the TPU hardware PRNG; rate="
+                f"{self.attention_dropout_rate} cannot run on the "
+                f"'{jax.default_backend()}' backend.  Training this "
+                "recipe here would silently diverge from its TPU "
+                "semantics — set attention_dropout_rate: 0 or "
+                "enable_flash_attention: false for off-TPU runs "
+                "(NEURST_FLASH_DROPOUT_OFF_TPU=skip overrides).")
         return float(self.attention_dropout_rate), self.make_rng("dropout")
 
     def __call__(self, query, memory=None, bias=None, cache=None,

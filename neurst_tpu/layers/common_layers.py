@@ -178,7 +178,9 @@ class TransformerFFN(nn.Module):
             rate = self.dropout_rate if is_training else 0.0
             rows = x.size // x.shape[-1]
             if fused_ffn_available(x.shape[-1], self.filter_size,
-                                   self.activation, rows):
+                                   self.activation, rows,
+                                   is_training=is_training,
+                                   dropout_rate=rate):
                 key = (self.make_rng("dropout") if rate > 0.0 else None)
                 return fused_ffn(x, k1, b1, k2, b2, dropout_rate=rate,
                                  dropout_key=key)

@@ -211,43 +211,6 @@ def chunked_decode_while(cond_fn, body_fn, init_state,
     return state
 
 
-def onehot_row_permute(node, beam_indices, axis=0):
-    """Row gather as a one-hot matmul — the TPU-fast beam reorder.
-
-    ``jnp.take(cache, beam_ids, 0)`` lowers to an XLA gather kernel
-    that runs far below HBM copy speed (measured on v5e at the beam-4
-    decode shape: the per-step cache reorder was 11 ms of a 23 ms
-    decode, ~3x the raw traffic cost).  A [rows, rows] one-hot
-    permutation matrix contracted on the MXU moves the same bytes at
-    matmul speed instead.  Bitwise-exact for finite values: exactly one
-    term of each output sum is ``1.0 * x`` (and ``0.0 + x == x``); the
-    f32 accumulate then downcast is the identity on bf16/f32 inputs.
-    Cache values are projections of finite activations, never inf/nan.
-    Float leaves only; integer leaves keep ``jnp.take``.
-    """
-    if not jnp.issubdtype(node.dtype, jnp.floating):
-        return jnp.take(node, beam_indices, axis=axis)
-    rows = node.shape[axis]
-    onehot = (beam_indices[:, None] == jnp.arange(rows)[None, :]).astype(
-        node.dtype)
-    # bf16 inputs multiply natively on the MXU (1.0 * x exact, f32
-    # accumulate); f32 inputs need HIGHEST or the TPU default splits
-    # them into bf16 passes and drops low mantissa bits.
-    precision = (None if node.dtype == jnp.bfloat16
-                 else jax.lax.Precision.HIGHEST)
-    if axis == 0:
-        flat = node.reshape(rows, -1)
-        out = jax.lax.dot(onehot, flat, precision=precision,
-                          preferred_element_type=jnp.float32)
-    elif axis == 1:
-        flat = node.reshape(node.shape[0], rows, -1)
-        out = jnp.einsum("rc,acf->arf", onehot, flat, precision=precision,
-                         preferred_element_type=jnp.float32)
-    else:
-        return jnp.take(node, beam_indices, axis=axis)
-    return out.astype(node.dtype).reshape(node.shape)
-
-
 def gather_beams_selective(nested, beam_indices, skip_keys=("memory",
                                                            "memory_padding")):
     """Beam-reorders a cache pytree, skipping batch-invariant subtrees.
@@ -259,9 +222,12 @@ def gather_beams_selective(nested, beam_indices, skip_keys=("memory",
     traffic of beam reordering by ~an order of magnitude for speech
     inputs (long source, short target).
 
-    Float leaves reorder via ``onehot_row_permute`` (one-hot matmul on
-    the MXU; exact) — XLA's gather kernel measured ~3x slower than the
-    raw copy traffic at decode shapes.
+    The reorder is one ``jnp.take`` per leaf over the fused batch*beam
+    axis.  (A one-hot-matmul permute was tried in round 4 on the theory
+    that XLA's gather runs below copy speed; measured END-TO-END on v5e
+    it LOST 21% of headline decode throughput — 554 vs 696 utt/s at the
+    bench shape — and was removed.  Per-op wins must be validated at
+    the full-decode level before replacing XLA defaults.)
 
     Leaves under a ``"stacked"`` key (scan-over-layers decoders) carry a
     leading layer axis, so their batch axis is 1, not 0.
@@ -274,6 +240,6 @@ def gather_beams_selective(nested, beam_indices, skip_keys=("memory",
                     for k, v in node.items()}
         if under_skip or node is None:
             return node
-        return onehot_row_permute(node, beam_indices, axis=axis)
+        return jnp.take(node, beam_indices, axis=axis)
 
     return walk(nested, False, 0)

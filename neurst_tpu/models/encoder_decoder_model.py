@@ -113,8 +113,11 @@ class Seq2SeqModule(nn.Module):
                 and _jax.default_backend() != "tpu":
             logging.warning(
                 "%s: flash attention applies attention-probability "
-                "dropout in-kernel on TPU only (rate=%s skipped on "
-                "this %s backend); other dropouts still apply.", which,
+                "dropout in-kernel on the TPU hardware PRNG; TRAINING "
+                "this config (rate=%s) on the %s backend raises a "
+                "config error (inference is unaffected).  Set "
+                "attention_dropout_rate: 0 or enable_flash_attention: "
+                "false for off-TPU training.", which,
                 cfg.get("attention_dropout_rate"),
                 _jax.default_backend())
 

@@ -64,15 +64,38 @@ _ROWS = 1024
 
 
 def fused_ffn_available(d: int, f: int, activation: str,
-                        rows: int) -> bool:
+                        rows: int, is_training: bool = True,
+                        dropout_rate: float = 0.0) -> bool:
     """The kernels hold W1+W2 (+ their f32 grad accumulators in the
     backward) in VMEM and only implement the relu activation; tiny row
-    counts (decode steps) stay on the XLA path where fusion wins."""
-    return (jax.default_backend() == "tpu"
+    counts (decode steps) stay on the XLA path where fusion wins.
+
+    The row threshold per mode comes from the MEASURED win-region
+    table (ops/kernel_gates.json, written by tools/sweep_kernel_gates.py
+    on real hardware) rather than a guessed constant: round 4 shipped a
+    ``rows >= 1024`` guess that silently engaged this training kernel
+    inside the decode-time speech encoder (d=256, rows=4096) where XLA
+    fusion wins, costing 23% of headline decode throughput.  The
+    fallback when no sweep artifact exists is the conservative one —
+    training only (the kernel's win is fwd+bwd HBM traffic; it was
+    never measured to win any inference shape)."""
+    if not (jax.default_backend() == "tpu"
             and activation == "relu"
             and d % 128 == 0 and f % 128 == 0
-            and rows >= 1024
-            and d * f * 8 <= 24 * 2**20)
+            and d * f * 8 <= 24 * 2**20):
+        return False
+    from neurst_tpu.ops.kernel_gates import gate_min_rows
+    if not is_training:
+        mode = "infer"
+    elif dropout_rate and dropout_rate > 0.0:
+        # the in-kernel hardware-PRNG dropout is the kernel's main win
+        # over "XLA matmuls + standalone dropout kernel" — measured
+        # separately from the no-dropout train mode
+        mode = "train_drop"
+    else:
+        mode = "train"
+    min_rows = gate_min_rows("fused_ffn", mode)
+    return min_rows is not None and rows >= min_rows
 
 
 def _threshold_and_scale(rate: float):

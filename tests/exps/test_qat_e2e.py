@@ -110,3 +110,56 @@ def test_qat_train_decode_export_roundtrip(tmp_path):
     quant_logits = logits_with(True)
     dense_logits = logits_with(False)
     assert float(np.max(np.abs(quant_logits - dense_logits))) > 1e-6
+
+
+@pytest.mark.slow
+def test_qat_checkpoint_drives_static_int8_serving(tmp_path):
+    """The round-4 feature's actual claim, end-to-end: train with QAT,
+    then serve the SAME model_dir full-int8 with STATIC activation
+    scales — the learned FFN relu clips (dense1/output_clip_max) drive
+    dense2's static act_scale with no calibration (int8ify_flat_params),
+    the unbounded dense inputs self-calibrate at predict time, and the
+    static-scale decode stays consistent with the dynamic-scale decode.
+    Ref: /root/reference/examples/quantization/README.md (the reference
+    trains these clips but only ever fake-quantizes in-graph)."""
+    from neurst_tpu.cli.run_exp import cli_main
+    from neurst_tpu.layers.quantization.quant_layers import _INT8_SERVING
+
+    model_dir = str(tmp_path / "model")
+    cli_main(["--entry", "train", "--config_paths", TRAIN_YML,
+              "--model_dir", model_dir,
+              "--train_steps", "15", "--save_checkpoint_steps", "15",
+              "--summary_steps", "15",
+              "--enable_quant", "--quant_params", QUANT_PARAMS])
+
+    predict_argv = [
+        "--entry", "predict", "--model_dir", model_dir,
+        "--dataset.class", "parallel_text",
+        "--dataset.params", "{src_file: tests/examples/dev.src, "
+                            "trg_file: tests/examples/dev.trg}",
+        "--search_method.params",
+        "{beam_size: 2, maximum_decode_length: 12}",
+        "--int8_serving", "--int8_activations"]
+
+    try:
+        dyn = cli_main(list(predict_argv))
+        dyn_hypos = dyn["hypotheses"]
+
+        static = cli_main(predict_argv + ["--int8_static_activations"])
+        static_hypos = static["hypotheses"]
+        # the learned QAT clips must have been consumed as static
+        # scales (not calibrated away): int8ify records those paths
+        qat_paths = _INT8_SERVING.get("qat_act_paths")
+        assert qat_paths, "no act_scale came from a learned QAT clip"
+        assert all(p.endswith("dense2") for p in qat_paths), qat_paths
+    finally:
+        from neurst_tpu.layers.quantization.quant_layers import \
+            set_int8_serving
+        set_int8_serving(False)
+
+    assert len(static_hypos) == len(dyn_hypos) == 24
+    agree = sum(a == b for a, b in zip(static_hypos, dyn_hypos))
+    # per-tensor static scales are coarser than per-token dynamic ones;
+    # on a 15-step model the decodes must still largely agree
+    assert agree >= len(dyn_hypos) * 0.8, (
+        f"static int8 decode diverged from dynamic: {agree}/24 match")

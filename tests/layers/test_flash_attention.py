@@ -228,3 +228,34 @@ def test_full_model_flash_train_grads_equal_dense():
     max_d = max(float(jnp.max(jnp.abs(a - b)))
                 for a, b in zip(leaves_d, leaves_f))
     assert max_d < 2e-4, max_d
+
+
+def test_flash_train_dropout_off_tpu_is_config_error():
+    """Training a flash-attention recipe that requests attention-prob
+    dropout on a non-TPU backend must raise (not silently train a
+    different model than the same recipe trains on TPU); inference on
+    the same model stays fine."""
+    import pytest
+
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.models.transformer import Transformer
+    meta = {"vocab_size": 17, "eos_id": 16, "bos_id": 16, "unk_id": 15}
+    cfg = dict(Transformer.build_model_args_by_name(
+        "transformer_toy")["model.params"])
+    cfg["dtype"] = "float32"
+    cfg["encoder.enable_flash_attention"] = True
+    cfg["encoder.attention_dropout_rate"] = 0.1
+    model = build_model({"model.class": "transformer",
+                         "model.params": cfg},
+                        src_meta=meta, trg_meta=meta)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = {
+        "src": np.array([[3, 4, 5, 16]], np.int32),
+        "src_padding": np.array([[0, 0, 0, 1]], np.float32),
+        "trg_input": np.array([[16, 2, 3]], np.int32),
+    }
+    with pytest.raises(ValueError, match="hardware PRNG"):
+        model.call(params, batch, is_training=True,
+                   rngs={"dropout": jax.random.PRNGKey(1)})
+    # inference never applies dropout -> no error
+    model.call(params, batch, is_training=False)

@@ -108,6 +108,55 @@ def test_readme_ms_claims_match_bench():
                    lambda c, v: abs(v - c) < 0.05 + 1e-9)
 
 
+def _newest_bench():
+    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    assert paths, "no BENCH_r*.json committed"
+    with open(paths[-1]) as f:
+        data = json.load(f)
+    return data.get("parsed", data)
+
+
+def test_readme_headline_decode_is_fresh():
+    """The hole round 4 fell through: the README quoted round 3's
+    714 utt/s while the NEWEST bench said 551 (a 23% regression), and
+    the match-against-any-historical-file tests stayed green.  The
+    headline decode claim must now track the newest driver-captured
+    value within the stated ±5% tunnel variance plus margin (10%)."""
+    newest = _newest_bench()
+    value = newest.get("value")
+    if not isinstance(value, (int, float)):
+        return  # bench errored (e.g. tunnel down) — nothing to compare
+    readme = _readme()
+    claims = [float(m) for m in re.findall(
+        r"(\d+(?:\.\d+)?) utterances/s", readme)]
+    assert claims, "README should state the headline utt/s"
+    headline = claims[0]
+    fresh = abs(headline - value) / max(value, 1e-9) <= 0.10
+    # a disagreement is allowed ONLY when the README explicitly quotes
+    # the newest number (i.e. acknowledges and accounts for it) — the
+    # round-4 failure mode was quoting an older round's number while
+    # staying silent about the newest one
+    acknowledged = str(int(round(value))) in readme
+    assert fresh or acknowledged, (
+        f"README headline decode claim {headline} utt/s is stale: the "
+        f"newest bench measured {value} utt/s (>10% apart) and the "
+        "README never mentions that value.  Update README.md — and if "
+        "this is a regression, account for it.")
+
+
+def test_readme_headline_mfu_is_fresh():
+    newest = _newest_bench()
+    mfu = (newest.get("extra") or {}).get("mfu")
+    if not isinstance(mfu, (int, float)):
+        return
+    claims = [float(m) for m in re.findall(r"MFU (\d\.\d+)", _readme())]
+    assert claims, "README should state the headline MFU"
+    headline = max(claims)
+    assert abs(headline - mfu) / max(mfu, 1e-9) <= 0.10, (
+        f"README headline MFU claim {headline} is stale vs the newest "
+        f"bench's {mfu} (>10% apart)")
+
+
 def test_changelog_carries_provenance_disclaimer():
     with open(os.path.join(REPO, "CHANGELOG.md")) as f:
         text = f.read()
