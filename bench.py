@@ -333,6 +333,91 @@ def bench_decode_dtype(jax):
     return times
 
 
+def bench_int8_latency(jax):
+    """int8 serving in the regime it exists for: BATCH-1 LATENCY on a
+    weight-read-bound model (transformer_base, d=512, 32k vocab — each
+    greedy step at batch 1 reads ~39M decoder+softmax params for one
+    row of compute).  The batched speech headline (bench_decode_dtype)
+    is NOT weight-bound at d=256/batch16 — int8 cannot win there; this
+    is the honest A/B at the shape where quarter-the-weight-reads can.
+    Note XLA hoists the weight-only path's int8->compute-dtype convert
+    out of the decode while_loop (the loop then reads converted weights
+    — no in-loop HBM saving), so the full-int8 configs (int8 x int8 ->
+    int32 on the MXU's double-rate path, weights consumed as int8
+    in-loop) are where the savings are physically possible."""
+    from functools import partial
+
+    from neurst_tpu.layers.quantization.quant_layers import (
+        calibrate_int8_act_scales, set_int8_serving)
+    from neurst_tpu.layers.search.sampling import sequence_sampling
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.models.transformer import Transformer
+    from neurst_tpu.utils.checkpoints import flatten_params
+    from neurst_tpu.utils.param_policy import (cast_params_for_inference,
+                                               restore_inference_params)
+
+    meta = {"vocab_size": TRAIN_VOCAB, "eos_id": 1, "bos_id": 2,
+            "unk_id": 3}
+    cfg = dict(Transformer.build_model_args_by_name(
+        "transformer_base")["model.params"])
+    cfg["dtype"] = "bfloat16"
+    spec = {"model.class": "transformer", "model.params": cfg}
+    base_model = build_model(spec, src_meta=meta, trg_meta=meta)
+    flat = flatten_params(base_model.init_params(jax.random.PRNGKey(0)))
+
+    src_len, md = 32, 64
+    rng = np.random.RandomState(7)
+    src = rng.randint(4, TRAIN_VOCAB, size=[1, src_len]).astype(np.int32)
+    inputs = {"src": jax.device_put(src),
+              "src_padding": jax.device_put(
+                  np.zeros([1, src_len], np.float32))}
+
+    def greedy_ms(model, params):
+        @partial(jax.jit, static_argnums=())
+        def decode(params, inputs, m=model):
+            s2l, init = m.prepare_generation(
+                params, inputs, decode_padded_length=md)
+            return sequence_sampling(
+                s2l, init, jax.random.PRNGKey(0), top_k=1,
+                maximum_decode_length=md, extra_decode_length=md,
+                minimum_decode_length=md - 1)
+
+        el = _median_time(lambda: decode(params, inputs),
+                          lambda out: np.asarray(out[0]),
+                          warmup=1, iters=3, chain=4)
+        return round(el * 1000, 2)
+
+    out = {"batch": 1, "max_decode": md, "model": "transformer_base"}
+    params = jax.tree_util.tree_map(jax.device_put,
+                                    base_model.init_params(
+                                        jax.random.PRNGKey(0)))
+    out["bf16_ms"] = greedy_ms(
+        base_model, cast_params_for_inference(params, "bfloat16"))
+    for label, act, static in (("int8_weightonly_ms", False, False),
+                               ("int8_act_ms", True, False),
+                               ("int8_act_static_ms", True, True)):
+        set_int8_serving(True, activations=act,
+                         static_activation_scales=static)
+        try:
+            model = build_model(spec, src_meta=meta, trg_meta=meta)
+            qparams = model.init_params(jax.random.PRNGKey(0))
+            qparams, _ = restore_inference_params(model, qparams, flat)
+            if static:
+                cal = {"src": inputs["src"],
+                       "src_padding": inputs["src_padding"],
+                       "trg_input": jax.device_put(
+                           np.full([1, 8], meta["bos_id"], np.int32))}
+                qparams = calibrate_int8_act_scales(model, qparams, [cal])
+            out[label] = greedy_ms(model, qparams)
+        finally:
+            set_int8_serving(False)
+    out["int8_best_speedup_vs_bf16"] = round(
+        out["bf16_ms"] / min(out["int8_weightonly_ms"],
+                             out["int8_act_ms"],
+                             out["int8_act_static_ms"]), 2)
+    return out
+
+
 def _train_flops(n_src_tok, n_trg_tok, dmodel=512, layers=6, ffn=2048,
                  vocab=TRAIN_VOCAB, batch=None, length=None):
     """Analytic transformer_base train FLOPs (fwd + 2x bwd = 3x fwd).
@@ -836,6 +921,7 @@ def main():
     # "needs" below are calibrated warm-cache costs: ~10-25 s program
     # load per distinct program + measurement time (see budget note).
     decode_dtype = gated("decode_dtype", 115, bench_decode_dtype)
+    int8_latency = gated("int8_latency", 120, bench_int8_latency)
     speculative = gated("speculative", 110, bench_speculative)
     spec_trained = gated("spec_trained", 60, bench_spec_trained)
 
@@ -860,6 +946,7 @@ def main():
                   "max_decode": MAX_DECODE, "beam": BEAM,
                   "decode_split_ms": decode_split,
                   "decode_dtype_ms": decode_dtype,
+                  "int8_latency_b1": int8_latency,
                   "train_model": "transformer_base_bf16",
                   "train_trg_tokens_per_sec_per_chip": round(train_tok_s),
                   "train_step_ms": round(train_step_s * 1000, 1),

@@ -94,7 +94,7 @@ def fused_ffn_available(d: int, f: int, activation: str,
         mode = "train_drop"
     else:
         mode = "train"
-    min_rows = gate_min_rows("fused_ffn", mode)
+    min_rows = gate_min_rows("fused_ffn", mode, d=d)
     return min_rows is not None and rows >= min_rows
 
 

@@ -30,11 +30,18 @@ back to the conservative default below.
 
 Schema (``kernel_gates.json``, committed next to this file)::
 
-    {"fused_ffn": {"train": {"min_rows": 1024}, "infer": {"min_rows": null}},
+    {"fused_ffn": {"train": {"min_rows": 16384,
+                             "by_d": {"256": 16384, "512": null}},
+                   "infer": {"min_rows": null, "by_d": {...}}},
      "_meta": {"device": "...", "sweep": [...per-shape measurements...]}}
 
 ``min_rows: null`` (or a missing kernel/mode) disables the kernel for
-that mode.  ``NEURST_KERNEL_GATES`` overrides the artifact path.
+that mode.  ``by_d`` refines the threshold per model dim — the win
+region is strongly d-dependent (the v5e sweep has the fused FFN winning
+d=256 training but never d=512); an exact ``by_d`` hit (including an
+explicit null) takes precedence, an unmeasured d falls back to the
+aggregate all-d threshold.  ``NEURST_KERNEL_GATES`` overrides the
+artifact path.
 """
 
 import functools
@@ -77,13 +84,20 @@ def reload_gates():
     _load.cache_clear()
 
 
-def gate_min_rows(kernel: str, mode: str) -> Optional[int]:
+def gate_min_rows(kernel: str, mode: str,
+                  d: Optional[int] = None) -> Optional[int]:
     """Smallest row count at which ``kernel`` measured faster than the
-    XLA path in ``mode`` ("train" | "infer"); None = never use."""
+    XLA path in ``mode`` ("train" | "train_drop" | "infer") at model
+    dim ``d`` (exact by_d hit > aggregate threshold); None = never
+    use."""
     table = _load().get(kernel)
     if isinstance(table, dict) and mode in table:
         entry = table[mode]
         if isinstance(entry, dict):
+            by_d = entry.get("by_d")
+            if d is not None and isinstance(by_d, dict) \
+                    and str(d) in by_d:
+                return by_d[str(d)]
             return entry.get("min_rows")
         return entry
     return _DEFAULTS.get(kernel, {}).get(mode)

@@ -162,10 +162,12 @@ def sweep_fused_ffn(jax):
     return results
 
 
-def min_rows_from(results, mode):
+def min_rows_from(results, mode, d=None):
     """Smallest rows r such that the fused kernel wins at EVERY
-    measured (shape, rows') with rows' >= r; None when no suffix of
-    the grid is all-wins."""
+    measured (shape, rows') with rows' >= r (restricted to model dim
+    ``d`` when given); None when no suffix of the grid is all-wins."""
+    if d is not None:
+        results = [e for e in results if e["d"] == d]
     rows_sorted = sorted({e["rows"] for e in results})
     for r in rows_sorted:
         suffix = [e for e in results if e["rows"] >= r]
@@ -174,24 +176,95 @@ def min_rows_from(results, mode):
     return None
 
 
+def build_table(sweep, device, in_model_ab=None):
+    """(kernel, mode) -> aggregate min_rows + per-model-dim ``by_d``.
+
+    The win region is strongly d-dependent: the 2026-08 v5e sweep has
+    the fused FFN winning d=256 training from rows 16384 (1024 with
+    in-kernel dropout) while losing standalone at d=512.  The
+    STANDALONE comparison is necessary but not sufficient — the round-5
+    in-model A/B (the full transformer_base train step via
+    ``bench.bench_train`` under each gate table) measured fused-on
+    FASTER end-to-end at d=512 (MFU 0.409 vs 0.394) even though the
+    synthetic serial-dependency loop said otherwise.  When
+    ``in_model_ab`` reports an end-to-end win for a dim the standalone
+    grid rejected, the in-model evidence wins and the threshold is set
+    to the training-shape row floor (16384: engages the kernel for real
+    training batches, keeps every decode/eval shape on XLA)."""
+    dims = sorted({e["d"] for e in sweep})
+    table = {"fused_ffn": {}}
+    for mode in ("train", "train_drop", "infer"):
+        table["fused_ffn"][mode] = {
+            "min_rows": min_rows_from(sweep, mode),
+            "by_d": {str(d): min_rows_from(sweep, mode, d) for d in dims},
+        }
+    if in_model_ab and in_model_ab.get("fused_on", {}).get("tok_s", 0) \
+            > in_model_ab.get("gates_off", {}).get("tok_s", 0) / WIN_MARGIN:
+        d = str(in_model_ab.get("d", 512))
+        for mode in ("train", "train_drop"):
+            cur = table["fused_ffn"][mode]["by_d"].get(d)
+            if cur is None:
+                table["fused_ffn"][mode]["by_d"][d] = 16384
+    table["_meta"] = {
+        "device": device,
+        "win_margin": WIN_MARGIN,
+        "tool": "tools/sweep_kernel_gates.py",
+        "in_model_ab": in_model_ab,
+        "sweep": sweep,
+    }
+    return table
+
+
+def in_model_train_ab(jax):
+    """End-to-end arbiter: the full transformer_base train step
+    (bench.bench_train, bf16 params, dropout 0.1 => train_drop mode)
+    with the fused FFN forced ON vs forced OFF via temp gate tables.
+    Standalone per-op sweeps mispredict in-model behavior (round-4's
+    one-hot reorder, round-5's d=512 FFN) — gates must answer to the
+    full step."""
+    import tempfile
+
+    import bench
+    from neurst_tpu.ops import kernel_gates
+    tables = {
+        "fused_on": {"fused_ffn": {"train": {"min_rows": 1024},
+                                   "train_drop": {"min_rows": 1024},
+                                   "infer": {"min_rows": None}}},
+        "gates_off": {"fused_ffn": {"train": {"min_rows": None},
+                                    "train_drop": {"min_rows": None},
+                                    "infer": {"min_rows": None}}},
+    }
+    result = {"d": 512, "shape": [bench.TRAIN_BATCH, bench.TRAIN_LEN]}
+    old = os.environ.get("NEURST_KERNEL_GATES")
+    try:
+        for label, tbl in tables.items():
+            with tempfile.NamedTemporaryFile(
+                    "w", suffix=".json", delete=False) as f:
+                json.dump(tbl, f)
+            os.environ["NEURST_KERNEL_GATES"] = f.name
+            kernel_gates.reload_gates()
+            tok_s, step_s, mfu = bench.bench_train(jax, bf16_params=True)
+            result[label] = {"tok_s": round(tok_s),
+                             "step_ms": round(step_s * 1000, 1),
+                             "mfu": round(mfu, 4)}
+            os.unlink(f.name)
+    finally:
+        if old is None:
+            os.environ.pop("NEURST_KERNEL_GATES", None)
+        else:
+            os.environ["NEURST_KERNEL_GATES"] = old
+        kernel_gates.reload_gates()
+    print(json.dumps({"in_model_ab": result}), flush=True)
+    return result
+
+
 def main():
     import jax
     if jax.default_backend() != "tpu":
         raise SystemExit("sweep must run on TPU (gates are TPU-only)")
     sweep = sweep_fused_ffn(jax)
-    table = {
-        "fused_ffn": {
-            "train": {"min_rows": min_rows_from(sweep, "train")},
-            "train_drop": {"min_rows": min_rows_from(sweep, "train_drop")},
-            "infer": {"min_rows": min_rows_from(sweep, "infer")},
-        },
-        "_meta": {
-            "device": str(jax.devices()[0]),
-            "win_margin": WIN_MARGIN,
-            "tool": "tools/sweep_kernel_gates.py",
-            "sweep": sweep,
-        },
-    }
+    ab = in_model_train_ab(jax)
+    table = build_table(sweep, str(jax.devices()[0]), in_model_ab=ab)
     out = os.path.join(REPO, "neurst_tpu", "ops", "kernel_gates.json")
     with open(out, "w") as f:
         json.dump(table, f, indent=1)
