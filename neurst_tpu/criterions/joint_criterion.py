@@ -45,33 +45,51 @@ class JointCriterion(Criterion):
                 "criterion.class": item.get("class"),
                 "criterion.params": item.get("params") or {}})
             self._subs.append((crit, float(item.get("weight", 1.0)),
-                               item.get("output_key")))
+                               item.get("output_key"),
+                               item.get("input_prefix")))
 
     @staticmethod
     def class_or_method_args():
         return [Flag("criterions", dtype=Flag.TYPE.STRING, default=None,
                      help="A YAML list of sub-criterion specs "
-                          "({class, params, weight, output_key}).")]
+                          "({class, params, weight, output_key, "
+                          "input_prefix}).  input_prefix remaps model "
+                          "inputs for the sub-criterion: prefix `asr` "
+                          "makes it read asr_trg/asr_trg_padding/... "
+                          "as trg/trg_padding/... (multi-task heads "
+                          "with per-head targets).")]
 
     def _out_for(self, model_out, key):
         if key and isinstance(model_out, dict):
             return model_out[key]
         return model_out
 
+    def _inp_for(self, model_inp, prefix):
+        if not prefix:
+            return model_inp
+        out = dict(model_inp)
+        tag = prefix + "_"
+        for k, v in model_inp.items():
+            if k.startswith(tag):
+                out[k[len(tag):]] = v
+        return out
+
     def reduce_loss(self, model_inp, model_out):
         total = 0.0
-        for crit, weight, key in self._subs:
+        for crit, weight, key, pfx in self._subs:
             total = total + weight * crit.reduce_loss(
-                model_inp, self._out_for(model_out, key))
+                self._inp_for(model_inp, pfx),
+                self._out_for(model_out, key))
         return total
 
     def __call__(self, model_inp, model_out):
-        return tuple(crit(model_inp, self._out_for(model_out, key))
-                     for crit, _, key in self._subs)
+        return tuple(crit(self._inp_for(model_inp, pfx),
+                          self._out_for(model_out, key))
+                     for crit, _, key, pfx in self._subs)
 
     def reduce_metrics(self, eval_res_list) -> dict:
         out = {}
-        for i, (crit, _, key) in enumerate(self._subs):
+        for i, (crit, _, key, _pfx) in enumerate(self._subs):
             sub = crit.reduce_metrics([res[i] for res in eval_res_list])
             for k, v in sub.items():
                 out[f"{key or i}_{k}" if len(self._subs) > 1 else k] = v

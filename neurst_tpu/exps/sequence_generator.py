@@ -343,8 +343,7 @@ class SequenceGenerator(BaseExperiment):
 
         results = {"samples": n_samples, "samples_per_sec":
                    n_samples / max(elapsed, 1e-6)}
-        targets = getattr(self._custom_dataset, "raw_targets", None) \
-            or getattr(self._custom_dataset, "targets", None)
+        targets = task.eval_targets(self._custom_dataset)
         if targets:
             # recover raw text refs (PROCESSED strings need detok too)
             from neurst_tpu.training.validator import recover_targets

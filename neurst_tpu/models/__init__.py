@@ -2,6 +2,7 @@ from neurst_tpu.models.model import BaseModel, build_model, register_model  # no
 from neurst_tpu.models.encoder_decoder_model import EncoderDecoderModel  # noqa: F401
 from neurst_tpu.models import transformer  # noqa: F401
 from neurst_tpu.models import speech_transformer  # noqa: F401
+from neurst_tpu.models import multi_task_speech_transformer  # noqa: F401
 from neurst_tpu.models import gpt2  # noqa: F401
 from neurst_tpu.models import bert  # noqa: F401
 from neurst_tpu.models import waitk_transformer  # noqa: F401

@@ -245,6 +245,12 @@ class EncoderDecoderModel(BaseModel):
     def trg_meta(self):
         return self._trg_meta
 
+    @property
+    def generation_meta(self):
+        """eos/bos/unk meta for the generation target side (multi-
+        decoder models override to select the decoded side)."""
+        return self._trg_meta
+
     @staticmethod
     def class_or_method_args():
         return [
@@ -405,8 +411,8 @@ class EncoderDecoderModel(BaseModel):
             "decoder_input": bos,
             "decoder_internal_cache": cache,
             "encoder_inputs_maxlen": jnp.max(src_len),
-            "eos_id": self._trg_meta["eos_id"],
-            "unk_id": self._trg_meta.get("unk_id"),
+            "eos_id": self.generation_meta["eos_id"],
+            "unk_id": self.generation_meta.get("unk_id"),
         }
         return symbols_to_logits_fn, generation_initializer
 
@@ -435,12 +441,13 @@ class EncoderDecoderModel(BaseModel):
             "decoder_input": bos,
             "decoder_internal_cache": cache,
             "encoder_inputs_maxlen": jnp.max(src_len),
-            "eos_id": self._trg_meta["eos_id"],
-            "unk_id": self._trg_meta.get("unk_id"),
+            "eos_id": self.generation_meta["eos_id"],
+            "unk_id": self.generation_meta.get("unk_id"),
         }
         return steps_fn, generation_initializer
 
     @property
     def bos_id(self):
         # parity: sequence generation starts from bos (or eos-as-bos)
-        return self._trg_meta.get("bos_id", self._trg_meta["eos_id"])
+        meta = self.generation_meta
+        return meta.get("bos_id", meta["eos_id"])

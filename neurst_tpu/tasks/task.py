@@ -91,6 +91,13 @@ class Task(object):
     def get_eval_metric(self, args, name="metric", ds=None):
         raise NotImplementedError
 
+    def eval_targets(self, dataset):
+        """Reference targets for generation eval — the dataset's
+        targets by default; multi-target tasks override to select the
+        side generation decodes."""
+        return getattr(dataset, "raw_targets", None) \
+            or getattr(dataset, "targets", None)
+
 
 def _create_task(cls, args, **kwargs):
     return cls(args, **kwargs)

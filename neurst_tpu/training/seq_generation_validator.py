@@ -114,8 +114,7 @@ class SeqGenerationValidator(Validator):
 
     def validate(self, step, params):
         # check targets BEFORE the (expensive) decode of the eval set
-        targets = (getattr(self._dataset, "raw_targets", None)
-                   or self._dataset.targets)
+        targets = self._task.eval_targets(self._dataset)
         if not targets:
             logging.warning("Validation dataset has no targets; skipping "
                             "generation validation (parity: reference "
