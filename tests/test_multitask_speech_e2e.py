@@ -147,6 +147,76 @@ def test_joint_criterion_input_prefix():
     np.testing.assert_allclose(joint, st_only + 0.5 * asr_only, rtol=1e-6)
 
 
+def test_multitask_dp_sharded_step_matches_single_device():
+    """The joint ASR+ST train step (shared encoder, two decoders, two
+    CE heads) under a dp2 mesh reproduces the single-device loss and
+    params — the multi-head loss path must survive batch sharding."""
+    import jax
+    import optax
+
+    from neurst_tpu.criterions.joint_criterion import JointCriterion
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.parallel import (TrainState, make_mesh,
+                                     make_train_step, params_shardings)
+    from neurst_tpu.parallel.utils import put_batch
+
+    model = build_model(
+        {"model.class": "multi_task_speech_transformer",
+         "model.params": {
+             "modality.dim": 16,
+             "modality.share_embedding_and_softmax_weights": True,
+             "encoder.num_layers": 1, "encoder.hidden_size": 16,
+             "encoder.num_attention_heads": 2, "encoder.filter_size": 32,
+             "decoder.num_layers": 1, "decoder.hidden_size": 16,
+             "decoder.num_attention_heads": 2, "decoder.filter_size": 32,
+             "dtype": "float32"}},
+        src_meta={"audio_feature_dim": 8, "audio_feature_channels": 1},
+        trg_meta={"vocab_size": 16, "eos_id": 1, "bos_id": 2, "unk_id": 3},
+        asr_meta={"vocab_size": 12, "eos_id": 1, "bos_id": 2, "unk_id": 3})
+    criterion = JointCriterion({"criterions": [
+        {"class": "label_smoothed_cross_entropy", "output_key": "st",
+         "weight": 1.0},
+        {"class": "label_smoothed_cross_entropy", "output_key": "asr",
+         "input_prefix": "asr", "weight": 0.5}]})
+    rng = np.random.RandomState(3)
+    b = 8
+    host = {
+        "src": rng.randn(b, 12, 8, 1).astype(np.float32),
+        "src_length": np.full([b], 12, np.int32),
+        "trg": rng.randint(4, 16, size=[b, 5]).astype(np.int32),
+        "trg_input": rng.randint(4, 16, size=[b, 5]).astype(np.int32),
+        "trg_padding": np.zeros([b, 5], np.float32),
+        "asr_trg": rng.randint(4, 12, size=[b, 6]).astype(np.int32),
+        "asr_trg_input": rng.randint(4, 12, size=[b, 6]).astype(np.int32),
+        "asr_trg_padding": np.zeros([b, 6], np.float32),
+        "sample_mask": np.ones([b], np.float32),
+    }
+
+    def run(mesh):
+        tx = optax.sgd(0.1)
+        params = model.init_params(jax.random.PRNGKey(0))
+        p_shard = params_shardings(mesh, model.params_spec())
+        params = jax.tree_util.tree_map(jax.device_put, params, p_shard)
+        state = TrainState.create(params, tx)
+        step = jax.jit(make_train_step(model, criterion, tx))
+        losses = []
+        with mesh:
+            batch = put_batch(mesh, host)
+            for _ in range(3):
+                state, metrics = step(state, batch, jax.random.PRNGKey(7))
+                losses.append(float(metrics["loss"]))
+        return losses, jax.tree_util.tree_map(np.asarray, state.params)
+
+    losses1, params1 = run(make_mesh(devices=jax.devices()[:1]))
+    losses2, params2 = run(make_mesh(devices=jax.devices()[:2]))
+    np.testing.assert_allclose(losses2, losses1, rtol=0, atol=1e-5)
+    import jax as _jax
+    diffs = [float(np.max(np.abs(a - b))) for a, b in zip(
+        _jax.tree_util.tree_leaves(params1),
+        _jax.tree_util.tree_leaves(params2))]
+    assert max(diffs) < 1e-5, max(diffs)
+
+
 def test_kernel_gates_by_d():
     """The measured gate table refines thresholds per model dim; an
     explicit by_d null disables the kernel at that dim even when other
