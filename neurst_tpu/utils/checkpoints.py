@@ -88,9 +88,18 @@ def _write_meta(model_dir, meta: dict):
 def save_checkpoint(model_dir: str, step: int, params,
                     opt_state_bytes: Optional[bytes] = None,
                     max_to_keep: Optional[int] = 8) -> str:
-    """Saves params (+ optional serialized optimizer state) at `step`."""
+    """Saves params (+ optional serialized optimizer state) at `step`.
+
+    Dtypes are canonicalized to what npz represents natively: bfloat16
+    (an ml_dtypes extension numpy serializes as raw void '|V2' bytes —
+    unreadable without the original dtype) is widened LOSSLESSLY to
+    float32.  This keeps the "checkpoints stay f32" contract no matter
+    which caller saves: the round-5 quality run caught the inline
+    validator's keep-best/averaged savers silently writing the live
+    bf16 training params as void arrays that exploded at restore."""
     os.makedirs(model_dir, exist_ok=True)
-    flat = {k: np.asarray(v) for k, v in flatten_params(params).items()}
+    flat = {k: _canonical_dtype(np.asarray(v))
+            for k, v in flatten_params(params).items()}
     path = _ckpt_path(model_dir, step)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -155,6 +164,27 @@ def latest_checkpoint(model_dir: str) -> Optional[str]:
     return latest_orbax_checkpoint(model_dir)
 
 
+def _canonical_dtype(a: np.ndarray) -> np.ndarray:
+    """bfloat16 -> float32 (lossless); other extension dtypes -> f32."""
+    if a.dtype.name == "bfloat16" or (a.dtype.kind == "V"
+                                      and a.dtype.itemsize == 2):
+        import ml_dtypes
+        if a.dtype.kind == "V":
+            a = a.view(ml_dtypes.bfloat16)
+        return a.astype(np.float32)
+    return a
+
+
+def _rescue_void_bf16(a: np.ndarray) -> np.ndarray:
+    """Repairs legacy checkpoints where bf16 arrays were np.savez'd as
+    raw void '|V2' bytes (pre-round-5 keep-best/avg savers under
+    --bf16_params): the bytes ARE bf16, so the view is exact."""
+    if a.dtype.kind == "V" and a.dtype.itemsize == 2:
+        import ml_dtypes
+        return a.view(ml_dtypes.bfloat16).astype(np.float32)
+    return a
+
+
 def restore_checkpoint_params(path: str) -> Dict[str, np.ndarray]:
     """Loads the flat name->array mapping from a .npz checkpoint (or a
     sharded ``.orbax`` directory — read host-side and flattened, so
@@ -175,7 +205,7 @@ def restore_checkpoint_params(path: str) -> Dict[str, np.ndarray]:
             raise FileNotFoundError("No checkpoint found")
         return restore_checkpoint_params(found)
     with np.load(path) as data:
-        return {k: data[k] for k in data.files}
+        return {k: _rescue_void_bf16(data[k]) for k in data.files}
 
 
 def _bridge_scan_layouts(flat: Dict[str, np.ndarray],
@@ -447,7 +477,10 @@ class AverageCheckpointSaver(object):
         self._best: Optional[float] = None
 
     def save(self, step: int, params, metric_value: float) -> bool:
-        flat = {k: np.asarray(v) for k, v in flatten_params(params).items()}
+        # canonicalize (bf16 -> f32) BEFORE windowing: the mean must
+        # not accumulate in bf16 when training runs --bf16_params
+        flat = {k: _canonical_dtype(np.asarray(v))
+                for k, v in flatten_params(params).items()}
         self._window[step] = flat
         if len(self._window) > self._max_to_keep:
             oldest = min(self._window)
@@ -458,7 +491,8 @@ class AverageCheckpointSaver(object):
         self._best = metric_value
         avg = {}
         for k in flat:
-            avg[k] = np.mean([w[k] for w in self._window.values()],
+            avg[k] = np.mean([w[k].astype(np.float64)
+                              for w in self._window.values()],
                              axis=0).astype(flat[k].dtype)
         save_checkpoint(self._dir, step, unflatten_params(avg),
                         max_to_keep=2)

@@ -22,6 +22,55 @@ def _train(tmp_path, model_dir, extra):
               "--model_dir", model_dir] + extra)
 
 
+def test_bf16_params_checkpoint_saves_restorable_f32(tmp_path):
+    """Round-5 quality-run regression: the keep-best/averaged savers
+    received the live bf16 training params and np.savez wrote them as
+    raw void '|V2' arrays that exploded at restore.  save_checkpoint
+    now canonicalizes bf16 -> f32 (lossless) for EVERY caller, the
+    averaging saver means in f64, and restore rescues legacy V2 files
+    by viewing the bytes as bf16."""
+    import ml_dtypes
+
+    from neurst_tpu.metrics.metric import MetricWrapper
+    from neurst_tpu.utils.checkpoints import (AverageCheckpointSaver,
+                                              KeepBestCheckpointSaver,
+                                              restore_checkpoint_params,
+                                              save_checkpoint)
+
+    rng = np.random.RandomState(0)
+    f32 = rng.randn(4, 3).astype(np.float32)
+    params = {"layer": {"kernel": f32.astype(ml_dtypes.bfloat16)}}
+
+    d1 = str(tmp_path / "direct")
+    save_checkpoint(d1, 1, params)
+    flat = restore_checkpoint_params(os.path.join(d1, "ckpt-1.npz"))
+    assert flat["layer/kernel"].dtype == np.float32
+    np.testing.assert_array_equal(
+        flat["layer/kernel"], f32.astype(ml_dtypes.bfloat16).astype(
+            np.float32))
+
+    metric = MetricWrapper("loss", greater_is_better=False)
+    best = KeepBestCheckpointSaver(str(tmp_path / "m"), metric)
+    avg = AverageCheckpointSaver(str(tmp_path / "m"), metric)
+    assert best.save(1, params, 1.0)
+    assert avg.save(1, params, 1.0)
+    for sub in ("best", "best_avg"):
+        flat = restore_checkpoint_params(
+            os.path.join(str(tmp_path / "m"), sub, "ckpt-1.npz"))
+        assert all(v.dtype == np.float32 for v in flat.values()), sub
+
+    # legacy rescue: a V2-void npz (how numpy serialized bf16) reads
+    # back as the exact f32 widening
+    legacy = str(tmp_path / "legacy.npz")
+    np.savez(legacy, **{"layer/kernel": f32.astype(ml_dtypes.bfloat16)})
+    raw = np.load(legacy)["layer/kernel"]
+    assert raw.dtype.kind == "V"
+    flat = restore_checkpoint_params(legacy)
+    np.testing.assert_array_equal(
+        flat["layer/kernel"], f32.astype(ml_dtypes.bfloat16).astype(
+            np.float32))
+
+
 @pytest.mark.slow
 def test_trainer_resumes_from_checkpoint(tmp_path, caplog):
     """Stopping at step 30 and re-running to 60 must resume from the
