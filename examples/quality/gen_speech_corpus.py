@@ -87,15 +87,27 @@ def main():
     with open(os.path.join(out_dir, "vocab.txt"), "w") as f:
         for i in range(N_PHONES):
             f.write(f"p{i}\n")
+    # PROJECTED ids must come from the pipeline (it appends EOS): the
+    # round-5 quality run shipped raw phone indices with no EOS, so the
+    # trained model could start every hypothesis perfectly but never
+    # STOP — beam decode padded to max length with garbage tails and
+    # dev WER plateaued near 90 while teacher-forced loss converged.
+    from neurst_tpu.data.data_pipelines.text_data_pipeline import \
+        TextDataPipeline
+    pipeline = TextDataPipeline(
+        vocab_path=os.path.join(out_dir, "vocab.txt"))
     for split, count in (("train", N_TRAIN), ("dev", N_DEV)):
         path = os.path.join(out_dir, f"{split}.tfrecords")
         with RecordWriter(path) as w:
             for _ in range(count):
                 wav, phones = utterance(rng)
                 feat = fe(wav, SAMPLE_RATE)
+                ids = pipeline.encode(
+                    " ".join(f"p{int(p)}" for p in phones),
+                    is_processed=False)
                 w.write(build_example({
                     "audio": feat.reshape(-1).astype(np.float32),
-                    "transcript": phones.astype(np.int64)}))
+                    "transcript": np.asarray(ids, np.int64)}))
         print(f"wrote {count} utterances -> {path}")
 
 
