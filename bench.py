@@ -214,8 +214,8 @@ def bench_decode(jax):
             np.full([BATCH], trg_meta["bos_id"], np.int32)),
     }
 
-    @partial(jax.jit, static_argnums=(2,))
-    def decode(params, inputs, prefix_chunk):
+    @partial(jax.jit, static_argnums=(2, 3))
+    def decode(params, inputs, prefix_chunk, unroll):
         s2l, init = model.prepare_generation(
             params, inputs, decode_padded_length=MAX_DECODE)
         return sequence_beam_search(
@@ -223,12 +223,14 @@ def bench_decode(jax):
             maximum_decode_length=MAX_DECODE,
             extra_decode_length=MAX_DECODE,
             minimum_decode_length=MAX_DECODE - 1,  # force full-length decode
-            prefix_decode_chunk=prefix_chunk)
+            prefix_decode_chunk=prefix_chunk,
+            decode_unroll=unroll)
 
     # ONE headline config: chunked prefix decode (reads ~the valid
     # cache prefix per step; exact), the faster config of the round-3
-    # A/B.  The plain full-length loop moved to the gated extras.
-    elapsed = _median_time(lambda: decode(params, inputs, 16),
+    # A/B, with the BeamSearch-default decode_unroll=4 (exact; measured
+    # round 5 — amortizes the ~110us/iteration while_loop overhead).
+    elapsed = _median_time(lambda: decode(params, inputs, 16, 4),
                            lambda out: np.asarray(out[0]),
                            WARMUP, ITERS, chain=8)
     utt_per_sec = BATCH / elapsed
@@ -242,21 +244,23 @@ def bench_decode(jax):
     # step-loop time is the remainder.
     @jax.jit
     def encode_only(params, inputs):
+        # returns ONE on-device scalar over the full generation cache:
+        # nothing is DCE'd, and the fetch moves 4 bytes — fetching a
+        # cache leaf over the ~32 MB/s tunnel inflated this number ~5x
+        # (round-5 profile: leaf-fetch said 22.3 ms, scalarized 4.3)
+        import jax.numpy as jnp
         _, init = model.prepare_generation(
             params, inputs, decode_padded_length=MAX_DECODE)
-        return init["decoder_internal_cache"]
-
-    def _first_leaf(tree):
-        import jax as _jax
-        return np.asarray(_jax.tree_util.tree_leaves(tree)[0])
+        leaves = jax.tree_util.tree_leaves(init["decoder_internal_cache"])
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
 
     enc_s = _median_time(lambda: encode_only(params, inputs),
-                         _first_leaf, warmup=1, iters=5, chain=8)
+                         lambda o: float(o), warmup=1, iters=5, chain=8)
     split = {"encode_ms": round(enc_s * 1000, 2),
              "step_loop_ms": round((elapsed - enc_s) * 1000, 2)}
 
     def plain_extra(jax_mod):
-        el = _median_time(lambda: decode(params, inputs, 0),
+        el = _median_time(lambda: decode(params, inputs, 0, 4),
                           lambda out: np.asarray(out[0]),
                           warmup=1, iters=5, chain=8)
         return {"plain_utt_s": round(BATCH / el, 1),

@@ -174,7 +174,7 @@ def resize_self_cache(nested, new_len,
 
 def chunked_decode_while(cond_fn, body_fn, init_state,
                          maximum_decode_length, prefix_chunk,
-                         time_offset=0):
+                         time_offset=0, unroll=1, max_steps=None):
     """Runs a stepwise-decode ``while_loop`` in geometrically growing
     self-cache prefix chunks (TPU decode-step HBM lever: each step's
     attention reads, softmax width and beam-reorder gather touch only
@@ -188,13 +188,58 @@ def chunked_decode_while(cond_fn, body_fn, init_state,
     ``time_offset`` shifts cache positions relative to ``time`` (GPT-2
     prompt prefill).  Exact: positions beyond the current step are
     zeros and masked, so slicing them off is a no-op numerically.
+
+    ``unroll`` > 1 runs that many decode steps per loop iteration to
+    amortize the per-iteration while_loop overhead (measured ~110 us on
+    the v5e serving platform — ~30% of a 64-step beam decode).  Output
+    is EXACT: an unrolled group never crosses ``max_steps`` (the
+    dynamic decode bound — REQUIRED when unroll > 1; phase 1 runs to
+    the largest multiple of ``unroll`` under it, a stepwise tail loop
+    finishes the remainder), and a group that crosses the
+    all-beams-finished early exit only re-runs body steps that are
+    no-ops by the search-state contract (finished rows force EOS and
+    freeze scores/lengths).  Falls back to unroll=1 when the chunk
+    grid is not a multiple of ``unroll``.
     """
     import jax
 
+    u = max(1, int(unroll))
+    if u > 1 and (max_steps is None
+                  or maximum_decode_length % u != 0
+                  or (prefix_chunk and prefix_chunk > 0
+                      and prefix_chunk % u != 0)):
+        u = 1
+
+    def body_u(s):
+        for _ in range(u):
+            s = body_fn(s)
+        return s
+
+    if u > 1:
+        steps_u = (max_steps // u) * u
+
+        def run_while(state, extra_cond):
+            state = jax.lax.while_loop(
+                lambda s: jnp.logical_and(
+                    jnp.logical_and(cond_fn(s), extra_cond(s)),
+                    s["time"] < steps_u),
+                body_u, state)
+            # stepwise tail: the (max_steps % u) remainder, entered
+            # only in the segment containing max_steps
+            return jax.lax.while_loop(
+                lambda s: jnp.logical_and(cond_fn(s), extra_cond(s)),
+                body_fn, state)
+    else:
+        def run_while(state, extra_cond):
+            return jax.lax.while_loop(
+                lambda s: jnp.logical_and(cond_fn(s), extra_cond(s)),
+                body_fn, state)
+
+    always = jnp.asarray(True)
     if (not prefix_chunk or prefix_chunk <= 0
             or prefix_chunk >= maximum_decode_length
             or not cache_is_prefix_chunkable(init_state["cache"])):
-        return jax.lax.while_loop(cond_fn, body_fn, init_state)
+        return run_while(init_state, lambda s: always)
     ends = []
     e = int(prefix_chunk)
     while e < maximum_decode_length:
@@ -205,9 +250,7 @@ def chunked_decode_while(cond_fn, body_fn, init_state,
     for e in ends:
         state = dict(state, cache=resize_self_cache(
             state["cache"], time_offset + e))
-        state = jax.lax.while_loop(
-            lambda s, _e=e: jnp.logical_and(cond_fn(s), s["time"] < _e),
-            body_fn, state)
+        state = run_while(state, lambda s, _e=e: s["time"] < _e)
     return state
 
 

@@ -58,7 +58,8 @@ def sequence_beam_search(symbols_to_logits_fn: Callable,
                          maximum_decode_length: int = 256,
                          minimum_decode_length: int = 0,
                          enable_unk: bool = False,
-                         prefix_decode_chunk: int = 0):
+                         prefix_decode_chunk: int = 0,
+                         decode_unroll: int = 1):
     """Beam search over a stepwise decode function.
 
     Args:
@@ -72,6 +73,9 @@ def sequence_beam_search(symbols_to_logits_fn: Callable,
             this size, so each step reads ~the valid cache prefix
             instead of ``maximum_decode_length`` (exact either way;
             see layer_utils.chunked_decode_while).
+        decode_unroll: decode steps per while-loop iteration (exact;
+            amortizes the per-iteration loop overhead — see
+            layer_utils.chunked_decode_while).
 
     Returns:
         (hypotheses int32 [B * top_k, maximum_decode_length],
@@ -187,7 +191,8 @@ def sequence_beam_search(symbols_to_logits_fn: Callable,
     final = layer_utils.chunked_decode_while(
         cond_fn, body_fn, init_state, maximum_decode_length,
         prefix_decode_chunk,
-        time_offset=int(generation_initializer.get("decode_time_offset", 0)))
+        time_offset=int(generation_initializer.get("decode_time_offset", 0)),
+        unroll=decode_unroll, max_steps=max_steps)
 
     # extract top_k hypotheses by final score
     penalty = _length_penalty(final["lengths"], length_penalty)
@@ -229,6 +234,11 @@ class BeamSearch(SequenceSearch):
                       "prefix chunks from this size, so each step reads "
                       "~the valid cache prefix instead of "
                       "maximum_decode_length (0 = off; exact either way)."),
+            Flag("decode_unroll", dtype=Flag.TYPE.INTEGER, default=4,
+                 help="Decode steps per while-loop iteration (exact; "
+                      "amortizes per-iteration loop overhead, measured "
+                      "~110us/iteration on v5e serving — falls back to "
+                      "1 when the chunk grid is not a multiple)."),
             Flag("padded_decode", dtype=Flag.TYPE.BOOLEAN, default=True,
                  help="Kept for recipe compatibility; static-shape decode "
                       "is always on for TPU."),
@@ -252,4 +262,6 @@ class BeamSearch(SequenceSearch):
             minimum_decode_length=a.get("minimum_decode_length") or 0,
             enable_unk=bool(a.get("enable_unk")),
             prefix_decode_chunk=(64 if a.get("prefix_decode_chunk") is None
-                                 else a["prefix_decode_chunk"]))
+                                 else a["prefix_decode_chunk"]),
+            decode_unroll=(4 if a.get("decode_unroll") is None
+                           else a["decode_unroll"]))

@@ -81,7 +81,8 @@ def sequence_sampling(symbols_to_logits_fn, generation_initializer, rng,
                       maximum_decode_length: int = 256,
                       minimum_decode_length: int = 0,
                       enable_unk: bool = False,
-                      prefix_decode_chunk: int = 0):
+                      prefix_decode_chunk: int = 0,
+                      decode_unroll: int = 1):
     """Samples sequences stepwise.  Returns (ids [B*num_samples, L],
     scores [B*num_samples] cumulative log-prob)."""
     eos_id = int(generation_initializer["eos_id"])
@@ -168,7 +169,8 @@ def sequence_sampling(symbols_to_logits_fn, generation_initializer, rng,
     final = layer_utils.chunked_decode_while(
         cond_fn, body_fn, init_state, maximum_decode_length,
         prefix_decode_chunk,
-        time_offset=int(generation_initializer.get("decode_time_offset", 0)))
+        time_offset=int(generation_initializer.get("decode_time_offset", 0)),
+        unroll=decode_unroll, max_steps=max_steps)
     return final["predicted"], final["log_probs"]
 
 
@@ -200,6 +202,9 @@ class TopSampling(SequenceSearch):
                       "prefix chunks from this size, so each step reads "
                       "~the valid cache prefix instead of "
                       "maximum_decode_length (0 = off; exact either way)."),
+            Flag("decode_unroll", dtype=Flag.TYPE.INTEGER, default=4,
+                 help="Decode steps per while-loop iteration (exact; "
+                      "amortizes per-iteration loop overhead)."),
             Flag("seed", dtype=Flag.TYPE.INTEGER, default=0,
                  help="The sampling random seed."),
         ]
@@ -222,4 +227,6 @@ class TopSampling(SequenceSearch):
             minimum_decode_length=a.get("minimum_decode_length") or 0,
             enable_unk=bool(a.get("enable_unk")),
             prefix_decode_chunk=(64 if a.get("prefix_decode_chunk") is None
-                                 else a["prefix_decode_chunk"]))
+                                 else a["prefix_decode_chunk"]),
+            decode_unroll=(4 if a.get("decode_unroll") is None
+                           else a["decode_unroll"]))

@@ -41,6 +41,48 @@ def run_search(step_logits, batch=1, **kw):
     return sequence_beam_search(make_s2l(step_logits), init, **kw)
 
 
+def test_decode_unroll_exact():
+    """decode_unroll runs N steps per while iteration; hypotheses and
+    scores must match unroll=1 exactly — including when the dynamic
+    max_steps (enc_maxlen + extra) is NOT a multiple of the unroll
+    (the stepwise tail loop), when beams finish early inside an
+    unrolled group, and when the grid forces the unroll=1 fallback."""
+    rng = np.random.RandomState(7)
+    step_logits = rng.randn(8, VOCAB).astype(np.float32) * 2.0
+    # make EOS attractive mid-way so early exit happens
+    step_logits[3, EOS] = 4.0
+
+    def run(unroll, maxlen=8, enc_maxlen=None, extra=8):
+        init = {
+            "decoder_input": jnp.zeros([2], jnp.int32),
+            "decoder_internal_cache": {"t": jnp.zeros([2], jnp.int32)},
+            "encoder_inputs_maxlen": enc_maxlen,
+            "eos_id": EOS,
+            "unk_id": UNK,
+        }
+        return sequence_beam_search(
+            make_s2l(step_logits), init, beam_size=2, top_k=2,
+            maximum_decode_length=maxlen, extra_decode_length=extra,
+            decode_unroll=unroll)
+
+    base_h, base_s = run(1)
+    for u in (2, 3, 4):
+        h, s = run(u)
+        np.testing.assert_array_equal(np.asarray(h), np.asarray(base_h))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(base_s),
+                                   atol=1e-6)
+    # ragged max_steps: enc_maxlen 2 + extra 4 = 6 decode steps, not a
+    # multiple of 4 -> phase 1 covers 4, the tail loop the last 2
+    base_h, base_s = run(1, enc_maxlen=jnp.asarray(2), extra=4)
+    h, s = run(4, enc_maxlen=jnp.asarray(2), extra=4)
+    np.testing.assert_array_equal(np.asarray(h), np.asarray(base_h))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(base_s),
+                               atol=1e-6)
+    # grid not a multiple of the unroll -> exact via the u=1 fallback
+    h, s = run(5)
+    np.testing.assert_array_equal(np.asarray(h), np.asarray(run(1)[0]))
+
+
 def test_length_penalty_formula():
     """GNMT: ((5+len)/6)^-alpha; negative alpha -> 1/len."""
     lengths = jnp.asarray([1, 5, 10])
