@@ -33,6 +33,11 @@ Suite mode (no recipe argument) runs, deadline-gated
   3. asr_synth.yml      — SPEECH: LogMelFbank, SpecAugment, 2-D
                           bucketing, conv front end, WER validator
                           (generates the tone corpus first if absent)
+  4. mt_synth_qat.yml   — QAT: trains mt_synth under min/max QAT, then
+                          serves the SAME model_dir fake-quant / int8
+                          weight-only / int8-dynamic / int8-STATIC
+                          (learned clips -> act scales) and records
+                          each BLEU (VERDICT r4 #9)
 and writes ONE combined artifact {"suite": {name: run_artifact}}.
 """
 
@@ -50,6 +55,7 @@ SUITE = [
     ("mt_synth", "examples/quality/mt_synth.yml", 600),
     ("mt_synth_base", "examples/quality/mt_synth_base.yml", 1500),
     ("asr_synth", "examples/quality/asr_synth.yml", 1800),
+    ("mt_synth_qat", "examples/quality/mt_synth_qat.yml", 700),
 ]
 
 
@@ -64,9 +70,8 @@ def _backend():
 
 def run_recipe(recipe, model_dir):
     """Trains + decodes one recipe; returns the trajectory artifact."""
-    import yaml
-    with open(recipe) as f:
-        recipe_cfg = yaml.safe_load(f)
+    from neurst_tpu.utils.configurable import load_from_config_path
+    recipe_cfg = load_from_config_path(recipe)  # comma-list ok
     vparams = (recipe_cfg.get("entry.params") or {}).get(
         "validator.params") or {}
     metric_cls = vparams.get("eval_metric.class") or "bleu"
@@ -175,6 +180,67 @@ def run_recipe(recipe, model_dir):
     }
 
 
+def run_qat_recipe(model_dir,
+                   base_recipe="examples/quality/mt_synth.yml",
+                   overlay="examples/quality/mt_synth_qat.yml",
+                   dev_src="examples/quality/dev.src",
+                   dev_trg="examples/quality/dev.trg"):
+    """VERDICT r4 #9 — the QAT -> static-int8 path on a TRAINED model:
+    trains mt_synth under min/max QAT (the reference's quantization
+    recipe, /root/reference/examples/quantization/README.md), then
+    decodes dev from the SAME model_dir four ways and records each
+    BLEU: fake-quant (the reference's only serving mode), real int8
+    weight-only, full int8 with dynamic per-token activation scales,
+    and full int8 with STATIC scales where the learned QAT clips drive
+    the FFN act_scales (quant_layers.int8ify_flat_params) and the rest
+    self-calibrates.  Static-vs-dynamic BLEU must agree within 1 point
+    on a converged model — that is the claim this entry checks."""
+    from neurst_tpu.cli.run_exp import cli_main
+    from neurst_tpu.layers.quantization.quant_layers import (
+        _INT8_SERVING, global_init, set_int8_serving)
+
+    base = run_recipe(f"{base_recipe},{overlay}", model_dir)
+    base["recipe"] = overlay
+
+    predict_argv = [
+        "--entry", "predict", "--model_dir", model_dir,
+        "--metric", "bleu",
+        "--dataset.class", "parallel_text",
+        "--dataset.params", json.dumps(
+            {"src_file": dev_src, "trg_file": dev_trg}),
+        "--search_method.params", json.dumps(
+            {"beam_size": 4, "maximum_decode_length": 20})]
+
+    qat_paths = []
+
+    def bleu_of(extra):
+        try:
+            res = cli_main(predict_argv + extra)
+            # the learned clips must actually have driven static scales
+            # (read before set_int8_serving(False) clears the record)
+            qat_paths.extend(sorted(
+                _INT8_SERVING.get("qat_act_paths") or []))
+            for k, v in res.items():
+                if "bleu" in k.lower() and isinstance(v, (int, float)):
+                    return float(v)
+        except Exception as e:  # keep partial artifacts
+            logging.exception("QAT int8 decode %s failed", extra)
+            return f"error: {e!r}"
+        finally:
+            set_int8_serving(False)
+            global_init(False)
+
+    base["int8_weight_only_bleu"] = bleu_of(["--int8_serving"])
+    base["int8_dynamic_bleu"] = bleu_of(
+        ["--int8_serving", "--int8_activations"])
+    del qat_paths[:]
+    base["int8_static_bleu"] = bleu_of(
+        ["--int8_serving", "--int8_activations",
+         "--int8_static_activations"])
+    base["qat_act_scale_paths"] = list(qat_paths)
+    return base
+
+
 def _ensure_speech_corpus(repo):
     speech_dir = os.path.join(repo, "examples/quality/speech")
     if os.path.exists(os.path.join(speech_dir, "train.tfrecords")):
@@ -199,7 +265,10 @@ def run_suite(out_json):
             if name == "asr_synth":
                 _ensure_speech_corpus(repo)
             t0 = time.time()
-            suite[name] = run_recipe(recipe, f"/tmp/quality_{name}")
+            if name == "mt_synth_qat":
+                suite[name] = run_qat_recipe(f"/tmp/quality_{name}")
+            else:
+                suite[name] = run_recipe(recipe, f"/tmp/quality_{name}")
             suite[name]["wall_s"] = round(time.time() - t0, 1)
         except Exception as e:  # noqa: BLE001 — keep partial artifacts
             logging.exception("quality run %s failed", name)
@@ -227,7 +296,10 @@ def main():
         recipe = sys.argv[1]
         model_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/quality_run"
         out_json = sys.argv[3] if len(sys.argv) > 3 else "QUALITY.json"
-        out = run_recipe(recipe, model_dir)
+        if recipe.endswith("mt_synth_qat.yml"):
+            out = run_qat_recipe(model_dir)  # overlay needs its base
+        else:
+            out = run_recipe(recipe, model_dir)
         with open(out_json, "w") as f:
             json.dump(out, f, indent=1)
         print(json.dumps(out)[:2000])
