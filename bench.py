@@ -771,7 +771,7 @@ def bench_scan_compile(jax):
     out = {}
     x = jnp.zeros([2, 256, 256], jnp.bfloat16)
     pad = jnp.zeros([2, 256], jnp.float32)
-    cache_dir = jax.config.read("jax_compilation_cache_dir")
+    cache_dir = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", None)
     try:
         for key, scan in (("loop_s", False), ("scan_s", True)):

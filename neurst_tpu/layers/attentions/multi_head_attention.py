@@ -215,9 +215,54 @@ class MultiHeadSelfAttention(MultiHeadAttention):
         self.qkv_transform = self._proj("qkv_transform", 3, self.key_depth)
         self.output_transform = self._out_proj()
 
+    def _attend_indirect(self, q, k, v, bias, beam_anc):
+        """Decode-step attention reading the kv-cache through a beam
+        ancestor-index matrix instead of a physically reordered cache.
+
+        Beam search without cache indirection spends most of its
+        step-loop HBM traffic reordering the self kv-cache (one
+        ``jnp.take`` read+write of every leaf per step).  With
+        indirection the cache rows never move: row b's position-j
+        key/value physically lives at row ``beam_anc[.., b, j]`` of its
+        beam group, and the selection happens IN-REGISTER via a one-hot
+        over the (tiny) beam axis after computing all beam-pair logits
+        — the cache is read once, nothing is rewritten.  Exact: the
+        selected dot products are the same dot products the reordered
+        path computes (one-hot has a single unit entry; padded/future
+        positions carry arbitrary valid indices and are bias-masked).
+
+        q [BB, 1, N, H]; k/v [BB, T, N, H]; bias broadcastable over
+        [., ., ., T]; beam_anc int [B, beam, T] with BB = B * beam.
+        Returns the projected output [BB, 1, out_depth].
+        """
+        batch, beam, t_len = beam_anc.shape
+        head_dim = q.shape[-1]
+        qg = (q[:, 0] * (head_dim ** -0.5)).reshape(
+            batch, beam, q.shape[-2], head_dim)
+        kg = k.reshape((batch, beam) + k.shape[1:])
+        vg = v.reshape((batch, beam) + v.shape[1:])
+        # all beam-pair logits: lg[B, q, p, N, T] = q_beam q vs k_beam p
+        lg = jnp.einsum("BqNH,BpTNH->BqpNT", qg, kg,
+                        preferred_element_type=jnp.float32)
+        onehot = jax.nn.one_hot(beam_anc, beam, dtype=jnp.float32,
+                                axis=-1)  # [B, q, T, p]
+        logits = jnp.einsum("BqpNT,BqTp->BqNT", lg, onehot)
+        if bias is not None:
+            # decode bias is [1, 1, 1, T] (scalar decode step) — it
+            # broadcasts over [B, beam, N, T] directly
+            logits = logits + bias.astype(jnp.float32)
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        wsel = (weights[:, :, None]
+                * jnp.moveaxis(onehot, -1, 2)[:, :, :, None, :].astype(
+                    self.dtype))  # [B, q, p, N, T]
+        out = jnp.einsum("BqpNT,BpTNH->BqNH", wsel, vg)
+        out = out.reshape(batch * beam, 1, out.shape[-2], out.shape[-1])
+        return self.output_transform(out)
+
     def __call__(self, query, bias=None, cache=None, decode_step=None,
                  is_training=False, flash_lengths=None,
-                 flash_causal=False, ring_axis=None, ring_lengths=None):
+                 flash_causal=False, ring_axis=None, ring_lengths=None,
+                 beam_anc=None):
         """Self-attention over `query` [B, F, D].
 
         With ``flash_lengths`` (and no cache), the Pallas flash kernel
@@ -279,4 +324,8 @@ class MultiHeadSelfAttention(MultiHeadAttention):
                     (0, decode_step, 0, 0))
             cache = {"keys": keys, "values": values}
             k, v = keys, values
+            if beam_anc is not None and q.shape[1] == 1 \
+                    and getattr(decode_step, "ndim", 0) == 0:
+                return self._attend_indirect(q, k, v, bias, beam_anc), \
+                    cache
         return self._attend(q, k, v, bias, is_training), cache

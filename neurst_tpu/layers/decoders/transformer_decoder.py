@@ -129,7 +129,7 @@ class TransformerDecoder(nn.Module):
                 _ScanDecoderBlockBody,
                 variable_axes={"params": 0, "losses": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(0,) + (nn.broadcast,) * 8,
+                in_axes=(0,) + (nn.broadcast,) * 9,
                 out_axes=0,
                 length=self.num_layers // f,
                 metadata_params={nn.meta.PARTITION_NAME: "layers"},
@@ -166,7 +166,7 @@ class TransformerDecoder(nn.Module):
                 _ScanDecoderBody,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(0,) + (nn.broadcast,) * 8,
+                in_axes=(0,) + (nn.broadcast,) * 9,
                 out_axes=0,
                 length=self.num_layers,
                 metadata_params={nn.meta.PARTITION_NAME: "layers"},
@@ -210,7 +210,7 @@ class TransformerDecoder(nn.Module):
                     (batch_size, 1, self.hidden_size), self.dtype)
                 _, mem = self.layers(dummy, None, None, encoder_outputs,
                                      None, None, False, False, None,
-                                     "memorize")
+                                     None, "memorize")
                 for j in range(f):
                     stacked[f"block_layer_{j}"].update(
                         mem[f"block_layer_{j}"])
@@ -225,7 +225,7 @@ class TransformerDecoder(nn.Module):
                     (batch_size, 1, self.hidden_size), self.dtype)
                 _, mem = self.layers(dummy, None, None, encoder_outputs,
                                      None, None, False, False, None,
-                                     "memorize")
+                                     None, "memorize")
                 stacked.update(mem)
             return {"stacked": stacked}
         cache = {}
@@ -241,7 +241,7 @@ class TransformerDecoder(nn.Module):
 
     def __call__(self, inputs, memory=None, memory_padding=None,
                  cache: Optional[dict] = None, decode_step=None,
-                 decode_lagging=None, is_training=False):
+                 decode_lagging=None, is_training=False, beam_anc=None):
         """Decoder forward.
 
         Training / teacher forcing: ``inputs`` [B, T, D], causal bias.
@@ -250,6 +250,12 @@ class TransformerDecoder(nn.Module):
 
         ``decode_lagging``: wait-k lagging; masks cross-attention so
         position i attends source positions < i + lagging.
+
+        ``beam_anc`` (stepwise beam decode): [B, beam, max_len]
+        ancestor-index matrix — self-attention reads the kv-cache
+        through it instead of beam search physically reordering the
+        cache every step (the dominant decode-step HBM traffic; see
+        MultiHeadSelfAttention._attend_indirect).
 
         Returns (outputs, new_cache).
         """
@@ -328,7 +334,8 @@ class TransformerDecoder(nn.Module):
             stacked_in = None if cache is None else cache["stacked"]
             x, ys = self.layers(x, stacked_in, self_bias, memory,
                                 memory_bias, decode_step, is_training,
-                                use_flash, cross_flash_lengths, "forward")
+                                use_flash, cross_flash_lengths, beam_anc,
+                                "forward")
             new_cache = None if cache is None else {"stacked": ys}
         else:
             new_cache = {} if cache is not None else None
@@ -340,7 +347,8 @@ class TransformerDecoder(nn.Module):
                     memory_bias=memory_bias, cache=layer_cache,
                     decode_step=decode_step, is_training=is_training,
                     self_flash_causal=use_flash,
-                    cross_flash_lengths=cross_flash_lengths)
+                    cross_flash_lengths=cross_flash_lengths,
+                    beam_anc=beam_anc)
                 if new_cache is not None:
                     new_cache[f"layer_{i}"] = upd
         if not self.post_normalize:
@@ -359,7 +367,7 @@ class _ScanDecoderBody(nn.Module):
     @nn.compact
     def __call__(self, carry, layer_cache, self_bias, memory, memory_bias,
                  decode_step, is_training, self_flash_causal,
-                 cross_flash_lengths, mode):
+                 cross_flash_lengths, beam_anc, mode):
         layer = TransformerDecoderLayer(
             **dict(self.layer_kwargs), name="layer")
         if mode == "memorize":
@@ -369,7 +377,8 @@ class _ScanDecoderBody(nn.Module):
             memory_bias=memory_bias, cache=layer_cache,
             decode_step=decode_step, is_training=is_training,
             self_flash_causal=self_flash_causal,
-            cross_flash_lengths=cross_flash_lengths)
+            cross_flash_lengths=cross_flash_lengths,
+            beam_anc=beam_anc)
         return x, upd
 
 
@@ -385,7 +394,7 @@ class _ScanDecoderBlockBody(nn.Module):
     @nn.compact
     def __call__(self, carry, block_cache, self_bias, memory, memory_bias,
                  decode_step, is_training, self_flash_causal,
-                 cross_flash_lengths, mode):
+                 cross_flash_lengths, beam_anc, mode):
         layers = [
             TransformerDecoderLayer(
                 **dict(self.moe_kwargs if j == self.block_size - 1
@@ -405,6 +414,7 @@ class _ScanDecoderBlockBody(nn.Module):
                 memory_bias=memory_bias, cache=layer_cache,
                 decode_step=decode_step, is_training=is_training,
                 self_flash_causal=self_flash_causal,
-                cross_flash_lengths=cross_flash_lengths)
+                cross_flash_lengths=cross_flash_lengths,
+                beam_anc=beam_anc)
             upds[f"block_layer_{j}"] = upd
         return x, (None if block_cache is None else upds)

@@ -116,9 +116,11 @@ def cache_is_prefix_chunkable(nested, skip_keys=("memory",
     """True iff every decode-step-indexed leaf of a decoding cache lives
     under a ``"self"`` subtree — the static ``[..., max_len, heads,
     head_dim]`` buffers whose time axis beam search may safely slice to
-    the valid prefix.  Caches with other stateful leaves (e.g. the
-    LightConv ring buffers under ``"conv"``) are NOT chunkable and fall
-    back to the plain full-length decode loop."""
+    the valid prefix — or is the ``"beam_anc"`` ancestor-index matrix
+    ([B, beam, max_len]; resized on its last axis alongside them).
+    Caches with other stateful leaves (e.g. the LightConv ring buffers
+    under ``"conv"``) are NOT chunkable and fall back to the plain
+    full-length decode loop."""
     found = [False]
     ok = [True]
 
@@ -126,7 +128,7 @@ def cache_is_prefix_chunkable(nested, skip_keys=("memory",
         if isinstance(node, dict):
             for k, v in node.items():
                 walk(v, under_skip or (k in skip_keys),
-                     under_self or k == "self")
+                     under_self or k in ("self", "beam_anc"))
             return
         if node is None or under_skip:
             return
@@ -149,16 +151,22 @@ def resize_self_cache(nested, new_len,
 
     Leaves under a ``"stacked"`` key carry a leading layer axis, so
     their time axis is 2, not 1 (matching the batch-axis convention of
-    the beam helpers above)."""
+    the beam helpers above).  A ``"beam_anc"`` leaf (the [B, beam,
+    max_len] ancestor-index matrix of indirect beam decoding) is
+    resized on its LAST axis; zero-padding it is exact for the same
+    reason (padded positions are bias-masked before they are read)."""
 
-    def walk(node, under_skip, under_self, time_axis):
+    def walk(node, under_skip, under_self, time_axis, is_anc=False):
         if isinstance(node, dict):
             return {k: walk(v, under_skip or (k in skip_keys),
                             under_self or k == "self",
-                            time_axis + 1 if k == "stacked" else time_axis)
+                            time_axis + 1 if k == "stacked" else time_axis,
+                            is_anc=(k == "beam_anc"))
                     for k, v in node.items()}
-        if node is None or under_skip or not under_self:
+        if node is None or under_skip or not (under_self or is_anc):
             return node
+        if is_anc:
+            time_axis = node.ndim - 1
         cur = node.shape[time_axis]
         if cur == new_len:
             return node
@@ -254,8 +262,33 @@ def chunked_decode_while(cond_fn, body_fn, init_state,
     return state
 
 
-def gather_beams_selective(nested, beam_indices, skip_keys=("memory",
-                                                           "memory_padding")):
+CACHE_SKIP_KEYS = ("memory", "memory_padding")
+
+
+def self_cache_time_len(nested):
+    """Time-axis length of the first ``"self"`` cache leaf (the static
+    decode buffer length; see the cache layout in transformer_decoder).
+    Leaves under ``"stacked"`` carry a leading layer axis."""
+
+    def walk(node, under_self, time_axis):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                got = walk(v, under_self or k == "self",
+                           time_axis + 1 if k == "stacked" else time_axis)
+                if got is not None:
+                    return got
+            return None
+        if node is None or not under_self:
+            return None
+        return node.shape[time_axis]
+
+    length = walk(nested, False, 1)
+    if length is None:
+        raise ValueError("cache has no 'self' leaves")
+    return length
+
+
+def gather_beams_selective(nested, beam_indices, skip_keys=CACHE_SKIP_KEYS):
     """Beam-reorders a cache pytree, skipping batch-invariant subtrees.
 
     Beam hypotheses of the same sentence share identical encoder-derived

@@ -59,7 +59,8 @@ def sequence_beam_search(symbols_to_logits_fn: Callable,
                          minimum_decode_length: int = 0,
                          enable_unk: bool = False,
                          prefix_decode_chunk: int = 0,
-                         decode_unroll: int = 1):
+                         decode_unroll: int = 1,
+                         cache_indirection: bool = True):
     """Beam search over a stepwise decode function.
 
     Args:
@@ -76,6 +77,16 @@ def sequence_beam_search(symbols_to_logits_fn: Callable,
         decode_unroll: decode steps per while-loop iteration (exact;
             amortizes the per-iteration loop overhead — see
             layer_utils.chunked_decode_while).
+        cache_indirection: when the model supports it
+            (``generation_initializer["beam_cache_indirection_ok"]``),
+            skip the physical per-step self-cache reorder — the
+            dominant decode-step HBM traffic (read+write of every
+            self leaf per step) — and instead carry a tiny
+            ``beam_anc`` [B, beam, max_len] ancestor-index matrix that
+            the decode self-attention reads the cache through
+            (MultiHeadSelfAttention._attend_indirect).  Exact: the
+            same dot products are computed, selected in-register by a
+            one-hot over the beam axis.
 
     Returns:
         (hypotheses int32 [B * top_k, maximum_decode_length],
@@ -97,6 +108,26 @@ def sequence_beam_search(symbols_to_logits_fn: Callable,
         generation_initializer["decoder_internal_cache"], beam_size)
     input_ids = layer_utils.stack_beam_size(
         decoder_input.astype(jnp.int32), beam_size)
+
+    time_offset = int(generation_initializer.get("decode_time_offset", 0))
+    use_indirection = (
+        cache_indirection and beam_size > 1 and time_offset == 0
+        and bool(generation_initializer.get("beam_cache_indirection_ok"))
+        and layer_utils.cache_is_prefix_chunkable(cache))
+    if use_indirection:
+        # ancestor-index matrix: row q's position-j key/value lives at
+        # beam row beam_anc[b, q, j] of its group.  Identity start (all
+        # beams share the t=0 history); the current column is reset to
+        # identity each step BEFORE the decode (a beam's own step-t
+        # entry is written to its own row), then reordered with the
+        # beam permutation AFTER top-k.
+        full_len = layer_utils.self_cache_time_len(cache)
+        cache = dict(cache, beam_anc=jnp.broadcast_to(
+            jnp.arange(beam_size, dtype=jnp.int32)[None, :, None],
+            (batch_size, beam_size, full_len)))
+        reorder_skip = layer_utils.CACHE_SKIP_KEYS + ("self", "beam_anc")
+    else:
+        reorder_skip = layer_utils.CACHE_SKIP_KEYS
 
     enc_maxlen = generation_initializer.get("encoder_inputs_maxlen")
     if enc_maxlen is None:
@@ -128,8 +159,20 @@ def sequence_beam_search(symbols_to_logits_fn: Callable,
 
     def body_fn(state):
         time = state["time"]
+        cache_in = state["cache"]
+        if use_indirection:
+            # a beam's own step-t key/value is written to its own row:
+            # reset the current ancestor column to identity before the
+            # decode (it is then permuted with the beams after top-k)
+            anc = jax.lax.dynamic_update_slice(
+                cache_in["beam_anc"],
+                jnp.broadcast_to(
+                    jnp.arange(beam_size, dtype=jnp.int32)[None, :, None],
+                    (batch_size, beam_size, 1)),
+                (0, 0, time))
+            cache_in = dict(cache_in, beam_anc=anc)
         logits, new_cache = symbols_to_logits_fn(
-            state["input_ids"], state["cache"], time)
+            state["input_ids"], cache_in, time)
         vocab_size = logits.shape[-1]
         log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
@@ -175,7 +218,15 @@ def sequence_beam_search(symbols_to_logits_fn: Callable,
         # cross-attention k/v and memory padding are identical across a
         # sentence's beams -> no reorder needed (big HBM-traffic saving)
         reordered_cache = layer_utils.gather_beams_selective(
-            new_cache, beam_ids)
+            new_cache, beam_ids, skip_keys=reorder_skip)
+        if use_indirection:
+            # the self kv-cache stays physically in place; only the
+            # [B, beam, T] ancestor matrix is permuted with the beams
+            local_ids = (top_idx // vocab_size).reshape(
+                batch_size, beam_size)
+            reordered_cache = dict(reordered_cache)
+            reordered_cache["beam_anc"] = jnp.take_along_axis(
+                new_cache["beam_anc"], local_ids[:, :, None], axis=1)
         next_finished = (word_ids == eos_id)
 
         return dict(
@@ -239,6 +290,13 @@ class BeamSearch(SequenceSearch):
                       "amortizes per-iteration loop overhead, measured "
                       "~110us/iteration on v5e serving — falls back to "
                       "1 when the chunk grid is not a multiple)."),
+            Flag("cache_indirection", dtype=Flag.TYPE.BOOLEAN, default=True,
+                 help="Read the self kv-cache through a per-beam "
+                      "ancestor-index matrix instead of physically "
+                      "reordering it every step (exact; skips the "
+                      "dominant decode-step HBM traffic; auto-disabled "
+                      "for models without the TransformerDecoder "
+                      "stack)."),
             Flag("padded_decode", dtype=Flag.TYPE.BOOLEAN, default=True,
                  help="Kept for recipe compatibility; static-shape decode "
                       "is always on for TPU."),
@@ -264,4 +322,6 @@ class BeamSearch(SequenceSearch):
             prefix_decode_chunk=(64 if a.get("prefix_decode_chunk") is None
                                  else a["prefix_decode_chunk"]),
             decode_unroll=(4 if a.get("decode_unroll") is None
-                           else a["decode_unroll"]))
+                           else a["decode_unroll"]),
+            cache_indirection=(True if a.get("cache_indirection") is None
+                               else bool(a["cache_indirection"])))

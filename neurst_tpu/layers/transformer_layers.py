@@ -148,13 +148,16 @@ class TransformerDecoderLayer(_LayerCommon):
     def __call__(self, x, self_attention_bias=None, memory=None,
                  memory_bias=None, cache: Optional[dict] = None,
                  decode_step=None, is_training=False,
-                 self_flash_causal=False, cross_flash_lengths=None):
+                 self_flash_causal=False, cross_flash_lengths=None,
+                 beam_anc=None):
         """Returns (output, new_cache).
 
         ``self_flash_causal=True`` (teacher-forcing path only) runs the
         causal self-attention through the flash kernel instead of the
         bias; ``cross_flash_lengths`` does the same for cross-attention
-        with per-row valid source lengths.
+        with per-row valid source lengths.  ``beam_anc`` (stepwise beam
+        decode only): ancestor-index matrix for indirect kv-cache reads
+        — see MultiHeadSelfAttention._attend_indirect.
         """
         new_cache = {} if cache is not None else None
 
@@ -167,7 +170,8 @@ class TransformerDecoderLayer(_LayerCommon):
                                         jnp.int32)
                                if self_flash_causal and cache is None
                                else None),
-                flash_causal=self_flash_causal)
+                flash_causal=self_flash_causal,
+                beam_anc=beam_anc)
 
         x, self_upd = self._prepost(self.self_attention_ln, x, self_fn,
                                     is_training)

@@ -178,6 +178,20 @@ class Seq2SeqModule(nn.Module):
             return out
         return self.output_logits(dec_out)
 
+    def beam_cache_indirection_ok(self) -> bool:
+        """Whether the stepwise decode honors a ``beam_anc``
+        ancestor-index matrix in the cache (beam search then skips the
+        physical per-step cache reorder — its dominant HBM traffic).
+        Requires the stock TransformerDecoder stack: its
+        MultiHeadSelfAttention reads the indirection; other decoders
+        (e.g. the LightConv ring buffers) do not, and silently ignoring
+        the key would decode the wrong history.  Gated on
+        ``build_decoder`` NOT being overridden (subclasses that swap
+        the decoder class, like LightConv, are excluded; subclasses
+        whose custom decoder does honor ``beam_anc`` override this to
+        return True)."""
+        return type(self).build_decoder is Seq2SeqModule.build_decoder
+
     def init_cache(self, encoder_outputs, memory_padding,
                    decode_padded_length: int):
         """Static-shape decoding cache; includes memory padding so the
@@ -189,13 +203,23 @@ class Seq2SeqModule(nn.Module):
     def decode_step(self, ids, cache, step, decode_lagging=None):
         """One decode step: ids [B] at position `step` -> logits [B, V].
 
+        A ``beam_anc`` entry in the cache (beam search with cache
+        indirection) rides at the top level and is passed through to
+        the decoder's self-attention; ``dict(cache)`` preserves it in
+        the returned cache.
+
         Returns (logits, new_cache)."""
         emb = self.trg_modality(ids, time=step)  # [B, D]
+        anc = cache.get("beam_anc")
+        # only the TransformerDecoder signature takes beam_anc (the
+        # LightConv decoder does not; beam search never adds the key
+        # for it — beam_cache_indirection_ok gates on the decoder type)
+        anc_kw = {} if anc is None else {"beam_anc": anc}
         dec_out, new_layers = self.decoder(
             emb[:, None, :], memory=None,
             memory_padding=cache["memory_padding"],
             cache=cache["layers"], decode_step=step,
-            decode_lagging=decode_lagging, is_training=False)
+            decode_lagging=decode_lagging, is_training=False, **anc_kw)
         logits = self.output_logits(dec_out[:, 0, :])
         new_cache = dict(cache)
         new_cache["layers"] = new_layers
@@ -413,6 +437,8 @@ class EncoderDecoderModel(BaseModel):
             "encoder_inputs_maxlen": jnp.max(src_len),
             "eos_id": self.generation_meta["eos_id"],
             "unk_id": self.generation_meta.get("unk_id"),
+            "beam_cache_indirection_ok": bool(
+                self._module.beam_cache_indirection_ok()),
         }
         return symbols_to_logits_fn, generation_initializer
 

@@ -119,7 +119,8 @@ class MultiTaskSpeechModule(SpeechSeq2SeqModule):
             emb[:, None, :], memory=None,
             memory_padding=cache["memory_padding"],
             cache=cache["layers"], decode_step=step,
-            decode_lagging=decode_lagging, is_training=False)
+            decode_lagging=decode_lagging, is_training=False,
+            beam_anc=cache.get("beam_anc"))
         logits = self._gen_logits(dec_out[:, 0, :])
         new_cache = dict(cache)
         new_cache["layers"] = new_layers
