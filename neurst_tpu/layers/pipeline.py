@@ -98,13 +98,13 @@ class _DecStageBody(nn.Module):
             _ScanDecoderBody,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
-            in_axes=(0,) + (nn.broadcast,) * 8,
+            in_axes=(0,) + (nn.broadcast,) * 9,
             out_axes=0,
             length=self.layers_per_stage,
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
         )(layer_kwargs=self.layer_kwargs, name="layers")
         x, _ = scan(x, None, self_bias, memory, memory_bias, None,
-                    is_training, False, None, "forward")
+                    is_training, False, None, None, "forward")
         return x
 
 
