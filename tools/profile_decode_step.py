@@ -20,14 +20,19 @@ of END-TO-END decodes (XLA fuses across op boundaries; isolated op
 timings mislead — round-4/5 lesson).  Some ablations change the math
 and exist ONLY to attribute time:
 
-  baseline     the headline config (exact)
+  baseline     the headline config (exact): cache indirection ON
+               (ancestor-index kv reads, no physical reorder),
+               chunked prefix, decode_unroll=4
+  reorder      cache_indirection=False (EXACT alternative): the
+               physical per-step cache reorder the indirection
+               replaces — the difference is the realized win
   plain        prefix_decode_chunk=0 (full-length cache every step)
+  no_unroll    decode_unroll=1: isolates the while-loop iteration
+               overhead the unrolling amortizes
   greedy       top_k=1 sampling, no beam: removes the beam*vocab
                top-k, the beam gathers and the 4x batch widening —
                upper bound on total beam machinery (also 4x less
                decoder compute: rows 16 vs 64)
-  no_reorder   beam search with the per-step cache reorder patched to
-               identity (INEXACT): isolates the gather traffic
   no_vocabproj output_logits patched to zero-pad the decoder output to
                vocab size (INEXACT): isolates the [d, V] projection +
                the [rows, V] softmax/top-k width
@@ -78,7 +83,6 @@ def main():
     from functools import partial
 
     from __graft_entry__ import _build_model
-    from neurst_tpu.layers import layer_utils
     from neurst_tpu.layers.search.beam_search import sequence_beam_search
     from neurst_tpu.layers.search.sampling import sequence_sampling
     from neurst_tpu.utils.param_policy import cast_params_for_inference
@@ -95,9 +99,9 @@ def main():
             np.full([BATCH], trg_meta["bos_id"], np.int32)),
     }
 
-    def beam_decode_fn(chunk):
-        @partial(jax.jit, static_argnums=(2,))
-        def decode(params, inputs, c):
+    def beam_decode_fn(chunk, unroll=4, indirection=True):
+        @partial(jax.jit, static_argnums=(2, 3, 4))
+        def decode(params, inputs, c, u, ind):
             s2l, init = model.prepare_generation(
                 params, inputs, decode_padded_length=MAX_DECODE)
             return sequence_beam_search(
@@ -105,8 +109,9 @@ def main():
                 maximum_decode_length=MAX_DECODE,
                 extra_decode_length=MAX_DECODE,
                 minimum_decode_length=MAX_DECODE - 1,
-                prefix_decode_chunk=c)
-        return lambda: decode(params, inputs, chunk)
+                prefix_decode_chunk=c, decode_unroll=u,
+                cache_indirection=ind)
+        return lambda: decode(params, inputs, chunk, unroll, indirection)
 
     @jax.jit
     def greedy(params, inputs):
@@ -141,21 +146,16 @@ def main():
     base_s = _median(beam_decode_fn(CHUNK), fetch0)
     prof["baseline_ms"] = round(base_s * 1000, 2)
     prof["baseline_utt_s"] = round(BATCH / base_s, 1)
+    prof["reorder_ms"] = round(_median(
+        beam_decode_fn(CHUNK, indirection=False), fetch0) * 1000, 2)
     prof["plain_ms"] = round(_median(beam_decode_fn(0), fetch0) * 1000, 2)
+    prof["no_unroll_ms"] = round(_median(
+        beam_decode_fn(CHUNK, unroll=1), fetch0) * 1000, 2)
     prof["greedy_ms"] = round(_median(
         lambda: greedy(params, inputs), fetch0) * 1000, 2)
     enc_s = _median(lambda: encode_only(params, inputs), fetch_scalar)
     prof["encode_ms"] = round(enc_s * 1000, 2)
     prof["step_loop_ms"] = round((base_s - enc_s) * 1000, 2)
-
-    # --- inexact attribution ablations (patched math) --------------
-    orig_gather = layer_utils.gather_beams_selective
-    layer_utils.gather_beams_selective = lambda nested, idx, **kw: nested
-    try:
-        prof["no_reorder_ms"] = round(
-            _median(beam_decode_fn(CHUNK), fetch0) * 1000, 2)
-    finally:
-        layer_utils.gather_beams_selective = orig_gather
 
     mod_cls = type(model.module)
     orig_logits = mod_cls.output_logits
@@ -176,8 +176,10 @@ def main():
     prof["attribution_ms"] = {
         "beam_machinery_and_width_vs_greedy": round(
             prof["baseline_ms"] - prof["greedy_ms"], 2),
-        "cache_reorder_gather": round(
-            prof["baseline_ms"] - prof["no_reorder_ms"], 2),
+        "indirection_saving_vs_reorder": round(
+            prof["reorder_ms"] - prof["baseline_ms"], 2),
+        "unroll_saving": round(
+            prof["no_unroll_ms"] - prof["baseline_ms"], 2),
         "vocab_projection_and_softmax_width": round(
             prof["baseline_ms"] - prof["no_vocabproj_ms"], 2),
         "chunking_saving_vs_plain": round(
