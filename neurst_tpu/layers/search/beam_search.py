@@ -111,7 +111,7 @@ def sequence_beam_search(symbols_to_logits_fn: Callable,
 
     time_offset = int(generation_initializer.get("decode_time_offset", 0))
     use_indirection = (
-        cache_indirection and beam_size > 1 and time_offset == 0
+        cache_indirection and beam_size > 1
         and bool(generation_initializer.get("beam_cache_indirection_ok"))
         and layer_utils.cache_is_prefix_chunkable(cache))
     if use_indirection:
@@ -161,7 +161,8 @@ def sequence_beam_search(symbols_to_logits_fn: Callable,
         time = state["time"]
         cache_in = state["cache"]
         if use_indirection:
-            # a beam's own step-t key/value is written to its own row:
+            # a beam's own step-t key/value is written to its own row
+            # (cache position time + offset under prompt prefill):
             # reset the current ancestor column to identity before the
             # decode (it is then permuted with the beams after top-k)
             anc = jax.lax.dynamic_update_slice(
@@ -169,7 +170,7 @@ def sequence_beam_search(symbols_to_logits_fn: Callable,
                 jnp.broadcast_to(
                     jnp.arange(beam_size, dtype=jnp.int32)[None, :, None],
                     (batch_size, beam_size, 1)),
-                (0, 0, time))
+                (0, 0, time + time_offset))
             cache_in = dict(cache_in, beam_anc=anc)
         logits, new_cache = symbols_to_logits_fn(
             state["input_ids"], cache_in, time)

@@ -83,9 +83,11 @@ class GPT2Module(nn.Module):
         emb = self.trg_modality(ids, time=step)
         out, new_layers = self.decoder(
             emb[:, None, :], cache=cache["layers"], decode_step=step,
-            is_training=False)
+            is_training=False, beam_anc=cache.get("beam_anc"))
         logits = self.trg_modality.attend(out[:, 0, :])
-        return logits, {"layers": new_layers}
+        new_cache = dict(cache)  # beam_anc (if any) rides through
+        new_cache["layers"] = new_layers
+        return logits, new_cache
 
     def decode_steps(self, ids, cache, times):
         """Multi-token per-row-time decode (speculative verification):
@@ -208,6 +210,10 @@ class GPT2(BaseModel):
             "encoder_inputs_maxlen": None,
             "eos_id": self._trg_meta["eos_id"],
             "unk_id": self._trg_meta.get("unk_id"),
+            # the stack is always a TransformerDecoder: beam search may
+            # read the kv-cache through an ancestor matrix (prompt
+            # positions stay identity — beams share the prefill)
+            "beam_cache_indirection_ok": True,
         }
         return cache, prefill, generation_initializer
 

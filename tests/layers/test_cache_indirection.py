@@ -107,6 +107,36 @@ def test_indirection_exact_speech():
     np.testing.assert_allclose(s0, s1, rtol=2e-5, atol=2e-5)
 
 
+def test_indirection_exact_gpt2_prefill():
+    """GPT-2 prompt prefill shifts cache positions by decode_time_offset
+    — the ancestor column updates must land at time + offset, and the
+    prompt positions stay identity (beams share the prefill)."""
+    args = {"model.class": "gpt2", "model.params": {
+        "hidden_size": 32, "num_layers": 2, "num_attention_heads": 2,
+        "filter_size": 64, "max_positions": 64, "dropout_rate": 0.0,
+        "timing": "emb", "dtype": "float32"}}
+    model = build_model(args, trg_meta={"vocab_size": 41, "eos_id": 1,
+                                        "unk_id": 3})
+    params = model.init_params(jax.random.PRNGKey(2))
+    rng = np.random.RandomState(2)
+    prompt = jnp.asarray(rng.randint(4, 41, size=(2, 5)), jnp.int32)
+    outs = {}
+    for ind in (False, True):
+        s2l, init = model.prepare_generation(
+            params, {"trg_input": prompt}, decode_padded_length=12)
+        assert init["beam_cache_indirection_ok"] is True
+        assert init["decode_time_offset"] == 4
+        outs[ind] = sequence_beam_search(
+            s2l, init, beam_size=3, top_k=1, maximum_decode_length=12,
+            extra_decode_length=12, prefix_decode_chunk=4,
+            decode_unroll=2, cache_indirection=ind)
+    np.testing.assert_array_equal(np.asarray(outs[False][0]),
+                                  np.asarray(outs[True][0]))
+    np.testing.assert_allclose(np.asarray(outs[False][1]),
+                               np.asarray(outs[True][1]),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_lightconv_gates_indirection_off():
     """The LightConv decoder's ring-buffer cache cannot be read through
     an attention ancestor matrix: the capability flag must be False and
