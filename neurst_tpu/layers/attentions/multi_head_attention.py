@@ -20,9 +20,12 @@ head_dim^-0.5, cached cross-attention k/v, static-shape decode cache).
 TPU-first redesign of the cache (SURVEY.md §7 "hard parts"): the decode
 cache is ALWAYS static-shape ``[batch*beam, max_len, heads, head_dim]``
 (the reference's ``padded_decode`` mode is the only mode).  Step updates
-use ``lax.dynamic_update_slice`` (no one-hot multiply), and beam reorder
-is a single ``jnp.take`` on the fused batch*beam axis.  Softmax runs in
-float32 regardless of the bf16 compute dtype.
+use ``lax.dynamic_update_slice`` (no one-hot multiply).  Under beam
+search the cache rows never move: the search carries an ancestor-index
+matrix and ``_attend_indirect`` selects each position's key/value row
+in-register (fallback paths keep the single ``jnp.take`` reorder on
+the fused batch*beam axis).  Softmax runs in float32 regardless of the
+bf16 compute dtype.
 """
 
 from typing import Any, Optional, Tuple

@@ -64,11 +64,20 @@ class EncoderDecoderEnsembleModel(object):
                  for i, init in enumerate(inits)}
 
         def symbols_to_logits_fn(ids, cache, time):
-            new_cache = {}
+            # the shared beam ancestor matrix (cache indirection) lives
+            # at the ensemble's top level and is fanned into each
+            # member's cache; member copies are stripped on the way out
+            # so the loop-carry structure stays fixed
+            anc = cache.get("beam_anc")
+            new_cache = {} if anc is None else {"beam_anc": anc}
             probs = None
             for i, fn in enumerate(fns):
-                logits_i, cache_i = fn(ids, cache[f"model_{i}"], time)
-                new_cache[f"model_{i}"] = cache_i
+                cache_i = cache[f"model_{i}"]
+                if anc is not None:
+                    cache_i = dict(cache_i, beam_anc=anc)
+                logits_i, cache_i = fn(ids, cache_i, time)
+                new_cache[f"model_{i}"] = {
+                    k: v for k, v in cache_i.items() if k != "beam_anc"}
                 p = jax.nn.softmax(logits_i.astype(jnp.float32), axis=-1)
                 probs = p * self._weights[i] if probs is None \
                     else probs + p * self._weights[i]
@@ -76,4 +85,8 @@ class EncoderDecoderEnsembleModel(object):
 
         generation_initializer = dict(inits[0])
         generation_initializer["decoder_internal_cache"] = cache
+        # every member must honor beam_anc (a mixed ensemble with e.g.
+        # a LightConv member falls back to the physical reorder)
+        generation_initializer["beam_cache_indirection_ok"] = all(
+            init.get("beam_cache_indirection_ok") for init in inits)
         return symbols_to_logits_fn, generation_initializer

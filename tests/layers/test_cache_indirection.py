@@ -137,6 +137,33 @@ def test_indirection_exact_gpt2_prefill():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_indirection_exact_ensemble():
+    """The ensemble fans the shared ancestor matrix into each member's
+    cache (different member weights force non-trivial beam churn)."""
+    from neurst_tpu.models.ensemble_model import \
+        EncoderDecoderEnsembleModel
+    members = [_text_model(False), _text_model(True)]
+    params = [m.init_params(jax.random.PRNGKey(i))
+              for i, m in enumerate(members)]
+    ens = EncoderDecoderEnsembleModel(members, params,
+                                      weights=[0.7, 0.3])
+    inputs = _text_inputs()
+    outs = {}
+    for ind in (False, True):
+        s2l, init = ens.prepare_generation(None, inputs,
+                                           decode_padded_length=16)
+        assert init["beam_cache_indirection_ok"] is True
+        outs[ind] = sequence_beam_search(
+            s2l, init, beam_size=4, top_k=1, maximum_decode_length=16,
+            extra_decode_length=16, prefix_decode_chunk=4,
+            decode_unroll=2, cache_indirection=ind)
+    np.testing.assert_array_equal(np.asarray(outs[False][0]),
+                                  np.asarray(outs[True][0]))
+    np.testing.assert_allclose(np.asarray(outs[False][1]),
+                               np.asarray(outs[True][1]),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_lightconv_gates_indirection_off():
     """The LightConv decoder's ring-buffer cache cannot be read through
     an attention ancestor matrix: the capability flag must be False and
