@@ -100,7 +100,14 @@ def run_recipe(recipe, model_dir):
                     [int(m.group(1)), float(m.group(2))])
 
     capture = Capture()
-    logging.getLogger().addHandler(capture)
+    root = logging.getLogger()
+    prev_level = root.level
+    # the trainer's "step N | loss X" lines are INFO: capture must see
+    # them even when run_recipe is driven programmatically (not via
+    # main(), which raises the root level itself)
+    if root.level > logging.INFO or root.level == logging.NOTSET:
+        root.setLevel(logging.INFO)
+    root.addHandler(capture)
 
     from neurst_tpu.cli.run_exp import cli_main
 
@@ -146,7 +153,8 @@ def run_recipe(recipe, model_dir):
         best_m = safe_metric(best_dir)
         avg_m = safe_metric(avg_dir)
     finally:
-        logging.getLogger().removeHandler(capture)
+        root.removeHandler(capture)
+        root.setLevel(prev_level)
 
     # the validator's own record is the authoritative trajectory
     metrics_path = os.path.join(best_dir, "metrics.json")
