@@ -628,6 +628,79 @@ def bench_speculative(jax):
     return out
 
 
+def bench_spec_beam(jax):
+    """Speculative BEAM search timing (VERDICT r4 #5: beam had no
+    on-chip number): transformer_base at the batch-1 latency shape,
+    beam 4, ngram self-draft k=4, forced 64-token outputs — plain
+    ``sequence_beam_search`` vs ``speculative_beam_search`` (exact by
+    construction; the draft only changes how many target passes run).
+    Untrained weights: the commit rate is the random-model ceiling,
+    bench_spec_trained gives the realized trained-model rate."""
+    from neurst_tpu.layers.search.beam_search import sequence_beam_search
+    from neurst_tpu.layers.search.speculative import (
+        make_ngram_draft, speculative_beam_search)
+    from neurst_tpu.models.model import build_model
+    from neurst_tpu.models.transformer import Transformer
+
+    meta = {"vocab_size": TRAIN_VOCAB, "eos_id": 1, "bos_id": 2,
+            "unk_id": 3}
+    cfg = dict(Transformer.build_model_args_by_name(
+        "transformer_base")["model.params"])
+    cfg["dtype"] = "bfloat16"
+    model = build_model(
+        {"model.class": "transformer", "model.params": cfg},
+        src_meta=meta, trg_meta=meta)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    b, src_len, md, beam, k = 1, 32, 64, 4, 4
+    rng = np.random.RandomState(9)
+    inputs = {
+        "src": jax.device_put(rng.randint(
+            4, TRAIN_VOCAB, size=[b, src_len]).astype(np.int32)),
+        "src_padding": jax.device_put(np.zeros([b, src_len], np.float32)),
+    }
+
+    @jax.jit
+    def plain(params, inputs):
+        s2l, init = model.prepare_generation(
+            params, inputs, decode_padded_length=md)
+        return sequence_beam_search(
+            s2l, init, beam_size=beam, top_k=1,
+            maximum_decode_length=md, extra_decode_length=md,
+            minimum_decode_length=md - 1)
+
+    @jax.jit
+    def spec(params, inputs):
+        t_fn, t_init = model.prepare_speculative(
+            params, inputs, decode_padded_length=md + k)
+        d_fn, d_init = make_ngram_draft(b * beam, md + k, TRAIN_VOCAB,
+                                        ngram=3)
+        return speculative_beam_search(
+            t_fn, t_init, d_fn, d_init, beam_size=beam,
+            speculative_k=k, top_k=1, maximum_decode_length=md,
+            extra_decode_length=md, minimum_decode_length=md - 1,
+            return_stats=True)
+
+    plain_s = _median_time(lambda: plain(params, inputs),
+                           lambda out: np.asarray(out[0]),
+                           warmup=1, iters=3, chain=4)
+    holder = {}
+
+    def run_spec():
+        ids, lp, stats = spec(params, inputs)
+        holder["stats"] = stats
+        return ids
+
+    spec_s = _median_time(run_spec, lambda out: np.asarray(out),
+                          warmup=1, iters=3, chain=4)
+    passes = int(np.asarray(holder["stats"]["target_passes"]))
+    return {"batch": b, "beam": beam, "k": k, "max_decode": md,
+            "plain_beam_ms": round(plain_s * 1000, 1),
+            "spec_beam_ms": round(spec_s * 1000, 1),
+            "speedup": round(plain_s / spec_s, 2),
+            "beam_steps_per_pass": round(md / max(passes, 1), 2)}
+
+
 def bench_spec_trained(jax):
     """Speculative decoding on the committed TRAINED checkpoint
     (tests/fixtures/reference_goldens/corpus_tf_ckpt_wide, the
@@ -927,6 +1000,7 @@ def main():
     decode_dtype = gated("decode_dtype", 115, bench_decode_dtype)
     int8_latency = gated("int8_latency", 120, bench_int8_latency)
     speculative = gated("speculative", 110, bench_speculative)
+    spec_beam = gated("spec_beam", 80, bench_spec_beam)
     spec_trained = gated("spec_trained", 60, bench_spec_trained)
 
     def f32_extra(jax_mod):
@@ -964,6 +1038,7 @@ def main():
                       long_train, batch=LONG_BATCH, frames=LONG_FRAMES)
                   if isinstance(long_train, dict) else long_train,
                   "speculative_decode": speculative,
+                  "speculative_beam": spec_beam,
                   "speculative_trained": spec_trained,
                   "moe_train": moe,
                   "decode_chunking": decode_plain,
